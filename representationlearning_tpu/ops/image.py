@@ -1,0 +1,163 @@
+"""Torch-semantics image ops in JAX (NHWC layout, TPU-friendly).
+
+The reference leans on ``F.interpolate`` / ``F.grid_sample`` / adaptive pooling with
+specific corner conventions; metric parity requires matching them exactly:
+- bilinear align_corners=False (SegFormer head upsampling `segformer_head.py:66-71`,
+  CAM rescaling `utils/camutils.py:97-108`),
+- bilinear align_corners=True (VARM mask upsample `network/VARM.py:63`),
+- nearest (label downsample `utils/camutils.py:238-242`),
+- grid_sample(padding_mode='border', align_corners=True) (corr loss `utils/corrloss.py:18`),
+- adaptive max/avg pool to 1x1 (TSCD pooling `network/TSCD_model.py:27-31`, CAM max-norm
+  `utils/camutils.py:110-111`).
+
+Everything here is jit-able with static output shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_resize_coords(out_size: int, in_size: int, align_corners: bool):
+    """Return (idx0, idx1, w1) for 1-D linear resize along an axis."""
+    if align_corners and out_size > 1:
+        src = jnp.arange(out_size, dtype=jnp.float32) * ((in_size - 1) / (out_size - 1))
+    elif align_corners:
+        src = jnp.zeros((out_size,), jnp.float32)
+    else:
+        src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (in_size / out_size) - 0.5
+        src = jnp.clip(src, 0.0, in_size - 1)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i0 = jnp.clip(i0, 0, in_size - 1)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    w1 = src - i0.astype(jnp.float32)
+    return i0, i1, w1
+
+
+def resize_bilinear(x: jax.Array, size, align_corners: bool = False) -> jax.Array:
+    """Bilinear resize of NHWC (or HWC / NCHW-free arbitrary rank with H,W at -3,-2).
+
+    Matches ``F.interpolate(mode='bilinear', align_corners=...)``.
+    """
+    H_out, W_out = int(size[0]), int(size[1])
+    H_in, W_in = x.shape[-3], x.shape[-2]
+    if (H_out, W_out) == (H_in, W_in):
+        return x
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+
+    i0, i1, wh = _axis_resize_coords(H_out, H_in, align_corners)
+    wh = wh.reshape((H_out, 1, 1))  # broadcast over W, C
+    top = jnp.take(xf, i0, axis=-3)
+    bot = jnp.take(xf, i1, axis=-3)
+    xf = top * (1.0 - wh) + bot * wh
+
+    j0, j1, ww = _axis_resize_coords(W_out, W_in, align_corners)
+    ww = ww.reshape((W_out, 1))
+    left = jnp.take(xf, j0, axis=-2)
+    right = jnp.take(xf, j1, axis=-2)
+    xf = left * (1.0 - ww) + right * ww
+    return xf.astype(dtype)
+
+
+def resize_nearest(x: jax.Array, size) -> jax.Array:
+    """``F.interpolate(mode='nearest')``: src index = floor(i * in/out)."""
+    H_out, W_out = int(size[0]), int(size[1])
+    H_in, W_in = x.shape[-3], x.shape[-2]
+    if (H_out, W_out) == (H_in, W_in):
+        return x
+    ih = jnp.floor(jnp.arange(H_out, dtype=jnp.float32) * (H_in / H_out)).astype(jnp.int32)
+    iw = jnp.floor(jnp.arange(W_out, dtype=jnp.float32) * (W_in / W_out)).astype(jnp.int32)
+    ih = jnp.clip(ih, 0, H_in - 1)
+    iw = jnp.clip(iw, 0, W_in - 1)
+    x = jnp.take(x, ih, axis=-3)
+    x = jnp.take(x, iw, axis=-2)
+    return x
+
+
+def interpolate(x, size=None, scale_factor=None, mode="bilinear", align_corners=False):
+    """Dispatcher mirroring ``F.interpolate`` for NHWC inputs."""
+    if size is None:
+        H_in, W_in = x.shape[-3], x.shape[-2]
+        sf = scale_factor if isinstance(scale_factor, (tuple, list)) else (scale_factor, scale_factor)
+        size = (int(H_in * sf[0]), int(W_in * sf[1]))
+    if mode == "bilinear":
+        return resize_bilinear(x, size, align_corners=align_corners)
+    if mode == "nearest":
+        return resize_nearest(x, size)
+    raise ValueError(f"unsupported mode {mode!r}")
+
+
+def adaptive_max_pool_11(x: jax.Array) -> jax.Array:
+    """``F.adaptive_max_pool2d(x, (1,1))`` for NHWC: max over H,W, keepdims."""
+    return jnp.max(x, axis=(-3, -2), keepdims=True)
+
+
+def adaptive_avg_pool_11(x: jax.Array) -> jax.Array:
+    return jnp.mean(x, axis=(-3, -2), keepdims=True)
+
+
+def grid_sample_bilinear(x: jax.Array, grid: jax.Array) -> jax.Array:
+    """``F.grid_sample(x, grid, padding_mode='border', align_corners=True)``.
+
+    x: (N, H, W, C); grid: (N, Hg, Wg, 2) with (x, y) coords in [-1, 1]
+    (last dim ordered like torch: grid[..., 0]=x/width coord, grid[..., 1]=y/height).
+    Returns (N, Hg, Wg, C).
+    """
+    N, H, W, C = x.shape
+    gx = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    gy = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    gx = jnp.clip(gx, 0.0, W - 1)
+    gy = jnp.clip(gy, 0.0, H - 1)
+
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = gx - x0.astype(gx.dtype)
+    wy = gy - y0.astype(gy.dtype)
+
+    def gather(img, yy, xx):  # img (H,W,C), yy/xx (Hg,Wg)
+        flat = img.reshape(H * W, C)
+        idx = yy * W + xx
+        return jnp.take(flat, idx, axis=0)  # (Hg,Wg,C)
+
+    def per_image(img, y0_, y1_, x0_, x1_, wx_, wy_):
+        v00 = gather(img, y0_, x0_)
+        v01 = gather(img, y0_, x1_)
+        v10 = gather(img, y1_, x0_)
+        v11 = gather(img, y1_, x1_)
+        wx_ = wx_[..., None]
+        wy_ = wy_[..., None]
+        top = v00 * (1 - wx_) + v01 * wx_
+        bot = v10 * (1 - wx_) + v11 * wx_
+        return top * (1 - wy_) + bot * wy_
+
+    return jax.vmap(per_image)(x, y0, y1, x0, x1, wx, wy)
+
+
+def pad_replicate(x: jax.Array, pad: int) -> jax.Array:
+    """Replicate-pad H and W of NHWC by `pad` on each side (torch 'replicate')."""
+    return jnp.pad(
+        x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge"
+    )
+
+
+def torch_std(x: jax.Array, axis, keepdims: bool = False) -> jax.Array:
+    """torch.std default: unbiased (ddof=1)."""
+    return jnp.std(x, axis=axis, ddof=1, keepdims=keepdims)
+
+
+def flip_lr(x: jax.Array) -> jax.Array:
+    """Horizontal flip of NHWC (torch ``x.flip(-1)`` on NCHW == flip W)."""
+    return jnp.flip(x, axis=-2)
+
+
+def minmax_normalize_cam(cam: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Reference CAM normalization (`utils/camutils.py:110-111`):
+    cam += max(-cam); cam /= (max(cam) + eps), maxes over H,W per (N, C)."""
+    cam = cam + adaptive_max_pool_11(-cam)
+    cam = cam / (adaptive_max_pool_11(cam) + eps)
+    return cam

@@ -1,0 +1,84 @@
+"""Golden tests for torch-semantics image ops against torch (CPU) itself."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from representationlearning_tpu.ops import image as I
+
+
+def _rand(shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize("size", [(7, 9), (16, 16), (33, 17)])
+def test_resize_bilinear_matches_torch(align, size):
+    x = _rand((2, 11, 13, 3))
+    ours = np.asarray(I.resize_bilinear(x, size, align_corners=align))
+    ref = (
+        F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=size, mode="bilinear", align_corners=align)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("size", [(5, 5), (24, 12), (13, 29)])
+def test_resize_nearest_matches_torch(size):
+    x = _rand((1, 10, 14, 2))
+    ours = np.asarray(I.resize_nearest(x, size))
+    ref = (
+        F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=size, mode="nearest")
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_grid_sample_matches_torch():
+    x = _rand((2, 9, 11, 4))
+    grid = (np.random.default_rng(1).random((2, 6, 5, 2)).astype(np.float32)) * 2.4 - 1.2  # beyond border
+    ours = np.asarray(I.grid_sample_bilinear(x, grid))
+    ref = (
+        F.grid_sample(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(grid),
+            mode="bilinear",
+            padding_mode="border",
+            align_corners=True,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_adaptive_pools():
+    x = _rand((3, 8, 8, 5))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    np.testing.assert_allclose(
+        np.asarray(I.adaptive_max_pool_11(x)).squeeze((1, 2)),
+        F.adaptive_max_pool2d(xt, (1, 1)).squeeze(-1).squeeze(-1).numpy(),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(I.adaptive_avg_pool_11(x)).squeeze((1, 2)),
+        F.adaptive_avg_pool2d(xt, (1, 1)).squeeze(-1).squeeze(-1).numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_torch_std_unbiased():
+    x = _rand((4, 7))
+    np.testing.assert_allclose(
+        np.asarray(I.torch_std(x, axis=1)),
+        torch.from_numpy(x).std(dim=1).numpy(),
+        rtol=1e-5,
+    )
+
+
+def test_minmax_normalize_cam_range():
+    x = _rand((2, 6, 6, 3), seed=3)
+    out = np.asarray(I.minmax_normalize_cam(x))
+    assert out.min() >= -1e-6 and out.max() <= 1.0 + 1e-5

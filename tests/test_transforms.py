@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+
+from representationlearning_tpu.data import transforms as T
+
+
+@pytest.fixture
+def img(rng):
+    return rng.integers(0, 255, size=(40, 60, 3)).astype(np.float32)
+
+
+def test_normalize_roundtrip(img):
+    n = T.normalize_img(img)
+    back = T.denormalize_img(n)
+    np.testing.assert_allclose(back, img, rtol=1e-4, atol=1e-3)
+
+
+def test_random_scaling_shape(rng, img):
+    out = T.random_scaling(rng, img, scale_range=(0.5, 0.5))
+    assert out.shape == (20, 30, 3)
+
+
+def test_random_crop_box_semantics(rng, img):
+    label = np.zeros(img.shape[:2], np.uint8)
+    crop, clabel, box = T.random_crop(rng, img, label, crop_size=64, ignore_index=255)
+    assert crop.shape == (64, 64, 3) and clabel.shape == (64, 64)
+    h0, h1, w0, w1 = box
+    # inside the box: real pixels (label != 255); outside: padding (label == 255)
+    assert (clabel[h0:h1, w0:w1] != 255).all()
+    outside = np.ones((64, 64), bool)
+    outside[h0:h1, w0:w1] = False
+    assert (clabel[outside] == 255).all()
+
+
+def test_random_crop_no_pad_case(rng):
+    big = rng.random((200, 200, 3)).astype(np.float32) * 255
+    label = rng.integers(0, 5, size=(200, 200)).astype(np.uint8)
+    crop, clabel, box = T.random_crop(rng, big, label, crop_size=64)
+    assert crop.shape == (64, 64, 3)
+    assert list(box) == [0, 64, 0, 64]  # fully covered by real pixels
+
+
+def test_flips_deterministic_given_rng(img):
+    r1 = np.random.default_rng(42)
+    r2 = np.random.default_rng(42)
+    a = T.random_fliplr(r1, img)
+    b = T.random_fliplr(r2, img)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_photometric_distortion_output_valid(rng, img):
+    pmd = T.PhotoMetricDistortion()
+    out = pmd(rng, img.astype(np.uint8))
+    assert out.dtype == np.uint8 and out.shape == img.shape
+
+
+def test_hsv_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, size=(16, 16, 3)).astype(np.uint8)
+    hsv = T._rgb_to_hsv_cv(img)
+    back = T._hsv_to_rgb_cv(hsv)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
