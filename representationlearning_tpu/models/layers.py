@@ -1,0 +1,122 @@
+"""Shared flax building blocks (NHWC, TPU-friendly).
+
+Torch-parity notes:
+- `Conv` uses torch's kernel layout convention converted at load time (OIHW->HWIO in
+  `convert/torch2jax.py`); padding here is explicit "SAME-like" integer padding, matching
+  `nn.Conv2d(padding=p)`.
+- `DropPath` is timm's stochastic depth (per-sample Bernoulli on the residual branch,
+  `mix_transformer.py:150` via timm DropPath).
+- `trunc_normal_(std=.02)` init parity is irrelevant for converted checkpoints but kept
+  for from-scratch training (`mix_transformer.py:31-43`).
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def trunc_normal_init(std: float = 0.02):
+    def init(key, shape, dtype=jnp.float32):
+        # truncated at +-2 std like timm's trunc_normal_
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+def fan_out_conv_init():
+    """torch reference conv init: normal(0, sqrt(2/fan_out)) with fan_out = kh*kw*out/groups
+    (`mix_transformer.py:38-43`)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        # flax conv kernel shape (kh, kw, in_per_group, out)
+        kh, kw, _, out = shape
+        fan_out = kh * kw * out
+        return jax.random.normal(key, shape, dtype) * jnp.sqrt(2.0 / fan_out)
+
+    return init
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop the whole residual branch per sample."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+def TorchConv(
+    features: int,
+    kernel_size: tuple[int, int],
+    stride: tuple[int, int] = (1, 1),
+    padding: tuple[int, int] = (0, 0),
+    dilation: tuple[int, int] = (1, 1),
+    groups: int = 1,
+    use_bias: bool = True,
+    kernel_init: Callable | None = None,
+    name: str | None = None,
+) -> nn.Conv:
+    """2-D conv on NHWC with integer padding semantics of torch nn.Conv2d.
+    Returns a plain nn.Conv so checkpoint paths stay flat (<name>/kernel)."""
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel_size,
+        strides=stride,
+        padding=((padding[0], padding[0]), (padding[1], padding[1])),
+        kernel_dilation=dilation,
+        feature_group_count=groups,
+        use_bias=use_bias,
+        kernel_init=kernel_init or fan_out_conv_init(),
+        name=name,
+    )
+
+
+class ConvBNReLU(nn.Module):
+    """mmcv ConvModule(conv->BN->ReLU) with conv bias disabled under norm
+    (`segformer_head.py:53-58`). BatchNorm cross-replica sync happens via `axis_name`
+    (SyncBN equivalent) when run inside a mapped axis."""
+
+    features: int
+    kernel_size: tuple[int, int] = (1, 1)
+    axis_name: str | None = None
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        p = (self.kernel_size[0] // 2, self.kernel_size[1] // 2)
+        x = TorchConv(self.features, self.kernel_size, padding=p, use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+            name="bn",
+        )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class TorchLinear(nn.Module):
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(
+            self.features, use_bias=self.use_bias, kernel_init=trunc_normal_init(0.02)
+        )(x)
+
+
+def layer_norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    return nn.LayerNorm(epsilon=eps)(x)

@@ -1,0 +1,222 @@
+"""Mix Vision Transformer (SegFormer MiT b0-b5) in flax, TPU-first.
+
+Behavior parity with `SCD-AAAI2023/network/mix_transformer.py`:
+- 4-stage hierarchy with overlapping patch embeds (7/3/3/3 kernels, configurable strides,
+  default [4,2,2,1] for dense stage 4) (`:219-247`)
+- spatial-reduction attention: k/v computed on an sr-strided conv of the tokens,
+  sr_ratios [8,4,2,1] (`:94-105`)
+- Mix-FFN: Linear -> 3x3 depthwise conv -> GELU -> Linear (`:46-53`, DWConv `:378-390`)
+- every block returns its *pre-softmax-scaled* attention logits, average-pooled over the
+  (H, W) query grid with window sr x sr when sr>1 so all exported maps share the key
+  length (`:123-133`); the TSCD affinity head consumes the last-stage maps.
+
+TPU-first notes: tokens are (B, N, C) contiguous, convs NHWC; attention is einsum-based
+so XLA maps it onto the MXU; compute dtype is switchable to bfloat16 via `dtype`.
+Variable names use stage{i} / block scopes; torch checkpoints load through
+`convert/torch2jax.py` name mapping.
+"""
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import DropPath, TorchConv, trunc_normal_init, fan_out_conv_init
+
+
+class DWConv(nn.Module):
+    """3x3 depthwise conv mixing inside the FFN (`mix_transformer.py:378-390`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, H: int, W: int) -> jax.Array:
+        B, N, C = x.shape
+        h = x.reshape(B, H, W, C)
+        h = TorchConv(self.dim, (3, 3), padding=(1, 1), groups=self.dim)(h)
+        return h.reshape(B, N, C)
+
+
+class MixFFN(nn.Module):
+    hidden: int
+    out: int
+    drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, H, W, deterministic: bool = True):
+        x = nn.Dense(self.hidden, kernel_init=trunc_normal_init(), name="fc1")(x)
+        x = DWConv(self.hidden, name="dwconv")(x, H, W)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out, kernel_init=trunc_normal_init(), name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class SRAttention(nn.Module):
+    """Spatial-reduction attention returning (out, exported attention logits)."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int = 1
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, H, W, deterministic: bool = True):
+        B, N, C = x.shape
+        nh, hd = self.num_heads, C // self.num_heads
+        scale = hd ** -0.5
+
+        q = nn.Dense(C, use_bias=self.qkv_bias, kernel_init=trunc_normal_init(), name="q")(x)
+        q = q.reshape(B, N, nh, hd).transpose(0, 2, 1, 3)  # (B, nh, N, hd)
+
+        if self.sr_ratio > 1:
+            xs = x.reshape(B, H, W, C)
+            xs = TorchConv(
+                C, (self.sr_ratio, self.sr_ratio), stride=(self.sr_ratio, self.sr_ratio),
+                name="sr",
+            )(xs)
+            xs = xs.reshape(B, -1, C)
+            xs = nn.LayerNorm(epsilon=1e-6, name="norm")(xs)
+        else:
+            xs = x
+        kv = nn.Dense(2 * C, use_bias=self.qkv_bias, kernel_init=trunc_normal_init(), name="kv")(xs)
+        Nk = xs.shape[1]
+        kv = kv.reshape(B, Nk, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]  # (B, nh, Nk, hd)
+
+        attn_logits = jnp.einsum(
+            "bhnd,bhkd->bhnk", q.astype(self.dtype), k.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        attn = jax.nn.softmax(attn_logits * scale, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum(
+            "bhnk,bhkd->bhnd", attn.astype(self.dtype), v.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, kernel_init=trunc_normal_init(), name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+        # exported affinity map: raw q@k^T logits pooled over the query grid so the
+        # query length matches the key length (`mix_transformer.py:123-133`)
+        a = attn_logits.reshape(B, nh, H, W, Nk)
+        if self.sr_ratio > 1:
+            s = self.sr_ratio
+            Hp, Wp = H // s, W // s
+            a = a[:, :, : Hp * s, : Wp * s, :]
+            a = a.reshape(B, nh, Hp, s, Wp, s, Nk).mean(axis=(3, 5))
+        a = a.reshape(B, nh, Nk, Nk)
+        return out, a
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    sr_ratio: int = 1
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, H, W, deterministic: bool = True):
+        h, attn = SRAttention(
+            self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
+            self.attn_drop, self.drop, dtype=self.dtype, name="attn",
+        )(nn.LayerNorm(epsilon=1e-6, name="norm1")(x), H, W, deterministic)
+        x = x + DropPath(self.drop_path)(h, deterministic)
+        h = MixFFN(
+            int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype, name="mlp",
+        )(nn.LayerNorm(epsilon=1e-6, name="norm2")(x), H, W, deterministic)
+        x = x + DropPath(self.drop_path)(h, deterministic)
+        return x, attn
+
+
+class OverlapPatchEmbed(nn.Module):
+    patch_size: int
+    stride: int
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        """x NHWC -> tokens (B, N, C), H', W'."""
+        p = self.patch_size // 2
+        x = TorchConv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            stride=(self.stride, self.stride), padding=(p, p), name="proj",
+        )(x)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x, H, W
+
+
+MIT_CONFIGS = {
+    "mit_b0": dict(embed_dims=[32, 64, 160, 256], depths=[2, 2, 2, 2]),
+    "mit_b1": dict(embed_dims=[64, 128, 320, 512], depths=[2, 2, 2, 2]),
+    "mit_b2": dict(embed_dims=[64, 128, 320, 512], depths=[3, 4, 6, 3]),
+    "mit_b3": dict(embed_dims=[64, 128, 320, 512], depths=[3, 4, 18, 3]),
+    "mit_b4": dict(embed_dims=[64, 128, 320, 512], depths=[3, 8, 27, 3]),
+    "mit_b5": dict(embed_dims=[64, 128, 320, 512], depths=[3, 6, 40, 3]),
+}
+
+
+class MixVisionTransformer(nn.Module):
+    """Returns (stage features [NHWC x4], exported attention maps [per block])."""
+
+    embed_dims: Sequence[int] = (64, 128, 320, 512)
+    depths: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (1, 2, 5, 8)
+    mlp_ratios: Sequence[float] = (4, 4, 4, 4)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    strides: Sequence[int] = (4, 2, 2, 1)
+    patch_sizes: Sequence[int] = (7, 3, 3, 3)
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    dtype: Any = jnp.float32
+    collect_attns: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True):
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        outs, attns = [], []
+        cur = 0
+        for s in range(4):
+            x, H, W = OverlapPatchEmbed(
+                self.patch_sizes[s], self.strides[s], self.embed_dims[s],
+                name=f"patch_embed{s + 1}",
+            )(x)
+            for b in range(self.depths[s]):
+                x, attn = Block(
+                    self.embed_dims[s], self.num_heads[s], self.mlp_ratios[s],
+                    self.sr_ratios[s], self.qkv_bias, self.drop_rate,
+                    self.attn_drop_rate, dpr[cur + b], dtype=self.dtype,
+                    name=f"block{s + 1}_{b}",
+                )(x, H, W, deterministic)
+                if self.collect_attns:
+                    attns.append(attn)
+            cur += self.depths[s]
+            x = nn.LayerNorm(epsilon=1e-6, name=f"norm{s + 1}")(x)
+            x = x.reshape(x.shape[0], H, W, self.embed_dims[s])
+            outs.append(x)
+        return outs, attns
+
+
+def make_mit(name: str, strides=(4, 2, 2, 1), **kw) -> MixVisionTransformer:
+    cfg = dict(MIT_CONFIGS[name])
+    cfg.update(strides=tuple(strides), **kw)
+    return MixVisionTransformer(**cfg)

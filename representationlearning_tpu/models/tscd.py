@@ -1,0 +1,123 @@
+"""TSCD — the SCD end-to-end WSSS model (parity with `SCD-AAAI2023/network/TSCD_model.py`).
+
+MiT encoder + SegFormer head + affinity head (1x1 conv over the concatenated last two
+blocks' exported attention maps -> sigmoid) + CAM classifier (1x1, no bias) on stage-4
+features. Forward modes mirror the reference's flags:
+- `cam_only=True`  -> (cam_s4, attn_pred): CAM = classifier-weight conv over stage-4
+  features with gradient stopped (`TSCD_model.py:77-80`)
+- default          -> (cls_logits, seg_logits, attns, attn_pred) (`:82-89`)
+
+All tensors NHWC; `pooling` selects gmp/gap for the classification head.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.registry import MODELS
+from ..ops.image import adaptive_avg_pool_11, adaptive_max_pool_11
+from .mit import MIT_CONFIGS, MixVisionTransformer
+from .segformer_head import SegFormerHead
+
+
+@MODELS.register("TSCD")
+class TSCD(nn.Module):
+    backbone: str = "mit_b1"
+    num_classes: int = 21
+    embedding_dim: int = 256
+    strides: tuple = (4, 2, 2, 1)
+    pooling: str = "gmp"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = dict(MIT_CONFIGS[self.backbone])
+        self.encoder = MixVisionTransformer(
+            strides=self.strides, dtype=self.dtype, **cfg, name="encoder"
+        )
+        self.decoder = SegFormerHead(
+            num_classes=self.num_classes, embedding_dim=self.embedding_dim,
+            dtype=self.dtype, name="decoder",
+        )
+        # 2 stage-4 blocks x num_heads(8) = 16 input channels (`TSCD_model.py:38`)
+        self.attn_proj = nn.Conv(1, (1, 1), use_bias=True, name="attn_proj")
+        self.classifier = nn.Conv(
+            self.num_classes - 1, (1, 1), use_bias=False, name="classifier"
+        )
+
+    def _pool(self, x):
+        if self.pooling == "gmp":
+            return adaptive_max_pool_11(x)
+        return adaptive_avg_pool_11(x)
+
+    def __call__(self, x, cam_only: bool = False, train: bool = False):
+        feats, attns = self.encoder(x, deterministic=not train)
+        x4 = feats[3]
+
+        # affinity prediction from the last two attention maps: (B, nh, Nk, Nk) x2
+        # -> channel-concat -> 1x1 conv -> sigmoid (`TSCD_model.py:73-76`)
+        attn_cat = jnp.concatenate(attns[-2:], axis=1)  # (B, 16, Nk, Nk)
+        attn_nhwc = attn_cat.transpose(0, 2, 3, 1)
+        attn_pred = jax.nn.sigmoid(self.attn_proj(attn_nhwc)[..., 0])  # (B, Nk, Nk)
+
+        if cam_only:
+            cam_s4 = jax.lax.stop_gradient(self.classifier(x4))  # (B, h, w, C-1)
+            return cam_s4, attn_pred
+
+        pooled = self._pool(x4)
+        cls_logits = self.classifier(pooled).reshape(x.shape[0], self.num_classes - 1)
+        seg = self.decoder(feats, train=train)
+        return cls_logits, seg, attns, attn_pred
+
+
+@MODELS.register("WeTrBaseline")
+class WeTrBaseline(nn.Module):
+    """Plain WeTr baseline: encoder + SegFormer head + classifier, no affinity head
+    (`SCD-AAAI2023/network/model_bsl.py:8-71`)."""
+
+    backbone: str = "mit_b1"
+    num_classes: int = 21
+    embedding_dim: int = 256
+    strides: tuple = (4, 2, 2, 1)
+    pooling: str = "gmp"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = dict(MIT_CONFIGS[self.backbone])
+        self.encoder = MixVisionTransformer(
+            strides=self.strides, dtype=self.dtype, collect_attns=False, **cfg, name="encoder"
+        )
+        self.decoder = SegFormerHead(
+            num_classes=self.num_classes, embedding_dim=self.embedding_dim,
+            dtype=self.dtype, name="decoder",
+        )
+        self.classifier = nn.Conv(self.num_classes - 1, (1, 1), use_bias=False, name="classifier")
+
+    def __call__(self, x, cam_only: bool = False, train: bool = False):
+        feats, _ = self.encoder(x, deterministic=not train)
+        x4 = feats[3]
+        if cam_only:
+            return jax.lax.stop_gradient(self.classifier(x4))
+        pooled = adaptive_max_pool_11(x4) if self.pooling == "gmp" else adaptive_avg_pool_11(x4)
+        cls_logits = self.classifier(pooled).reshape(x.shape[0], self.num_classes - 1)
+        seg = self.decoder(feats, train=train)
+        return cls_logits, seg
+
+
+class LargeFOV(nn.Module):
+    """Dilated-conv DeepLab head alternative (`SCD-AAAI2023/network/conv_head.py:11-39`)."""
+
+    out_planes: int
+    dilation: int = 12
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dilation
+        x = nn.Conv(512, (3, 3), kernel_dilation=(d, d), padding=((d, d), (d, d)))(x)
+        x = nn.relu(x)
+        x = nn.Conv(512, (3, 3), kernel_dilation=(d, d), padding=((d, d), (d, d)))(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_planes, (1, 1))(x)
+        return x
