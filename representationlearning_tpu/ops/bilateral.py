@@ -1,0 +1,140 @@
+"""High-dimensional (bilateral) Gaussian filtering — TPU-native replacement for the
+reference's C++/SWIG permutohedral lattice (`SCD-AAAI2023/wrapper/bilateralfilter/`:
+features (x/sxy, y/sxy, r/srgb, g/srgb, b/srgb), per-class channel filtering,
+OpenMP-parallel over batch).
+
+The permutohedral lattice is hash-table/scatter-heavy and hostile to TPU. Instead we use
+the classic *bilateral grid* (splat -> blur -> slice on a regular 5-D grid): multilinear
+splat via segment-sum scatter, separable 5-D Gaussian blur as shift-and-add (XLA fuses
+it), multilinear slice gather. Both the lattice and the grid approximate the same dense
+Gaussian transform out_i = sum_j exp(-|f_i - f_j|^2 / 2) * in_j; `bilateral_filter_brute`
+computes that transform exactly (O(N^2)) and is the golden reference in tests.
+
+Grid calibration: multilinear splat+slice convolves the signal with two unit triangle
+kernels (variance 1/6 each on unit-spaced cells), so the explicit blur uses
+sigma^2 = 1 - 2/6 to keep the end-to-end response ~N(0,1) per dimension.
+Batch = vmap (the OpenMP-over-batch equivalent, but on-device).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _features(image: jax.Array, sigma_rgb: float, sigma_xy: float) -> jax.Array:
+    """image (H, W, 3) in [0, 255] -> (H, W, 5) features in units of sigma."""
+    H, W, _ = image.shape
+    y = jnp.arange(H, dtype=jnp.float32)[:, None] / sigma_xy
+    x = jnp.arange(W, dtype=jnp.float32)[None, :] / sigma_xy
+    yy = jnp.broadcast_to(y, (H, W))
+    xx = jnp.broadcast_to(x, (H, W))
+    rgb = image.astype(jnp.float32) / sigma_rgb
+    return jnp.concatenate([xx[..., None], yy[..., None], rgb], axis=-1)
+
+
+def bilateral_filter_brute(
+    image: jax.Array, inputs: jax.Array, sigma_rgb: float, sigma_xy: float
+) -> jax.Array:
+    """Exact dense Gaussian transform (includes self-term). image (H,W,3) in [0,255],
+    inputs (H,W,K) -> (H,W,K). O((HW)^2) — test/verification use only."""
+    H, W, K = inputs.shape
+    f = _features(image, sigma_rgb, sigma_xy).reshape(H * W, 5)
+    d2 = ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1)
+    A = jnp.exp(-0.5 * d2)
+    return (A @ inputs.reshape(H * W, K)).reshape(H, W, K)
+
+
+@partial(jax.jit, static_argnames=("sigma_rgb", "sigma_xy", "value_range"))
+def bilateral_filter_grid(
+    image: jax.Array,
+    inputs: jax.Array,
+    sigma_rgb: float,
+    sigma_xy: float,
+    value_range: float = 255.0,
+) -> jax.Array:
+    """Bilateral-grid approximation of `bilateral_filter_brute`.
+    image (H, W, 3) in [0, value_range]; inputs (H, W, K)."""
+    H, W, K = inputs.shape
+    pad = 2  # blur radius
+    gx = int(math.ceil((W - 1) / sigma_xy)) + 1 + 2 * pad
+    gy = int(math.ceil((H - 1) / sigma_xy)) + 1 + 2 * pad
+    gc = int(math.ceil(value_range / sigma_rgb)) + 1 + 2 * pad
+    dims = (gx, gy, gc, gc, gc)
+
+    f = _features(jnp.clip(image, 0.0, value_range), sigma_rgb, sigma_xy)
+    f = f.reshape(H * W, 5) + pad  # offset into padded grid
+    lo = jnp.floor(f).astype(jnp.int32)
+    frac = f - lo.astype(jnp.float32)
+
+    strides = np.ones(5, np.int64)
+    for d in range(3, -1, -1):
+        strides[d] = strides[d + 1] * dims[d + 1]
+    total = int(np.prod(dims))
+    strides_j = jnp.asarray(strides, jnp.int32)
+
+    vals = inputs.reshape(H * W, K)
+
+    # ---- splat: 32-corner multilinear scatter-add
+    grid = jnp.zeros((total, K), jnp.float32)
+    ones = jnp.zeros((total,), jnp.float32)  # homogeneous weight channel (unused for
+    # the unnormalized transform but cheap to keep for diagnostics)
+    for corner in range(32):
+        bits = [(corner >> d) & 1 for d in range(5)]
+        idx = ((lo + jnp.asarray(bits, jnp.int32)) * strides_j).sum(-1)
+        w = jnp.prod(
+            jnp.stack([frac[:, d] if bits[d] else 1.0 - frac[:, d] for d in range(5)], -1),
+            axis=-1,
+        )
+        grid = grid.at[idx].add(vals * w[:, None])
+
+    # ---- blur: separable Gaussian, sigma^2 = 1 - 2/6 (splat+slice compensation)
+    sig2 = 1.0 - 2.0 / 6.0
+    taps = np.exp(-0.5 * np.arange(-pad, pad + 1) ** 2 / sig2).astype(np.float32)
+    # normalize the composite per-dim kernel (triangle * taps * triangle, mass =
+    # taps.sum()) to the target Gaussian exp(-t^2/2) whose mass is sqrt(2*pi):
+    # without this the response amplitude is off by (taps_mass/sqrt(2pi))^5.
+    taps *= np.sqrt(2.0 * np.pi).astype(np.float32) / taps.sum()
+
+    def shift(a, t, axis):  # zero-filled shift (not circular)
+        if t == 0:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (max(-t, 0), max(t, 0))
+        ap = jnp.pad(a, widths)
+        start = [0] * a.ndim
+        start[axis] = max(t, 0)
+        return jax.lax.dynamic_slice(ap, start, a.shape)
+
+    g5 = grid.reshape(dims + (K,))
+    for axis in range(5):
+        acc = taps[pad] * g5
+        for t in range(1, pad + 1):
+            acc = acc + taps[pad + t] * (shift(g5, -t, axis) + shift(g5, t, axis))
+        g5 = acc
+    grid = g5.reshape(total, K)
+
+    # ---- slice: multilinear gather
+    out = jnp.zeros((H * W, K), jnp.float32)
+    for corner in range(32):
+        bits = [(corner >> d) & 1 for d in range(5)]
+        idx = ((lo + jnp.asarray(bits, jnp.int32)) * strides_j).sum(-1)
+        w = jnp.prod(
+            jnp.stack([frac[:, d] if bits[d] else 1.0 - frac[:, d] for d in range(5)], -1),
+            axis=-1,
+        )
+        out = out + jnp.take(grid, idx, axis=0) * w[:, None]
+    return out.reshape(H, W, K)
+
+
+def bilateral_filter_batch(
+    images: jax.Array, inputs: jax.Array, sigma_rgb: float, sigma_xy: float,
+    method: str = "grid",
+) -> jax.Array:
+    """Batched (N,H,W,3) x (N,H,W,K) -> (N,H,W,K); replaces `bilateralfilter_batch`
+    (`bilateralfilter.cpp:42-55`) with vmap instead of OpenMP threads."""
+    fn = bilateral_filter_grid if method == "grid" else bilateral_filter_brute
+    return jax.vmap(lambda im, x: fn(im, x, sigma_rgb, sigma_xy))(images, inputs)
