@@ -217,3 +217,85 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     # strip DDP "module." prefixes (RSSFormer `eval.py:31-38` remove_module_prefix)
     sd = { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
     return state_dict_to_numpy(sd)
+
+
+# ------------------------------------------------------------------- ResNet-50 mapping
+def _resnet50_mapper(prefix: str = "") -> NameMapper:
+    """torchvision-style resnet50 names (used by WaveCAM `net/resnet50.py:112-116`)."""
+    M = NameMapper()
+    P = re.escape(prefix)
+
+    @M.rule(P + r"conv1\.weight")
+    def _stem_conv(m, w):
+        return "params", ("conv1", "kernel"), t_conv(w)
+
+    @M.rule(P + r"bn1\.(weight|bias)")
+    def _stem_bn(m, w):
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return "params", ("bn1", leaf), w
+
+    @M.rule(P + r"bn1\.running_(mean|var)")
+    def _stem_bn_stats(m, w):
+        return "batch_stats", ("bn1", m.group(1)), w
+
+    @M.rule(P + r"layer(\d)\.(\d+)\.conv([123])\.weight")
+    def _blk_conv(m, w):
+        return "params", (f"layer{m.group(1)}_{m.group(2)}", f"conv{m.group(3)}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"layer(\d)\.(\d+)\.bn([123])\.(weight|bias)")
+    def _blk_bn(m, w):
+        leaf = "scale" if m.group(4) == "weight" else "bias"
+        return "params", (f"layer{m.group(1)}_{m.group(2)}", f"bn{m.group(3)}", leaf), w
+
+    @M.rule(P + r"layer(\d)\.(\d+)\.bn([123])\.running_(mean|var)")
+    def _blk_bn_stats(m, w):
+        return "batch_stats", (f"layer{m.group(1)}_{m.group(2)}", f"bn{m.group(3)}", m.group(4)), w
+
+    @M.rule(P + r"layer(\d)\.(\d+)\.downsample\.0\.weight")
+    def _ds_conv(m, w):
+        return "params", (f"layer{m.group(1)}_{m.group(2)}", "downsample_conv", "kernel"), t_conv(w)
+
+    @M.rule(P + r"layer(\d)\.(\d+)\.downsample\.1\.(weight|bias)")
+    def _ds_bn(m, w):
+        leaf = "scale" if m.group(3) == "weight" else "bias"
+        return "params", (f"layer{m.group(1)}_{m.group(2)}", "downsample_bn", leaf), w
+
+    @M.rule(P + r"layer(\d)\.(\d+)\.downsample\.1\.running_(mean|var)")
+    def _ds_bn_stats(m, w):
+        return "batch_stats", (f"layer{m.group(1)}_{m.group(2)}", "downsample_bn", m.group(3)), w
+
+    @M.rule(r"(fc\.(weight|bias)|.*num_batches_tracked)")
+    def _drop_fc(m, w):
+        return None
+
+    return M
+
+
+def convert_resnet50(sd: Mapping[str, np.ndarray], strict: bool = True) -> dict:
+    """Plain torchvision resnet50 checkpoint -> ResNet50Backbone variables."""
+    return _resnet50_mapper("").convert(sd, strict=strict)
+
+
+def convert_wavecam_net(sd: Mapping[str, np.ndarray], strict: bool = True) -> dict:
+    """WaveCAM Net / Net_CAM / CAM checkpoints (`net/resnet50_cam.py:9-44`):
+    resnet under `resnet50.`, plus `classifier`; duplicate module references
+    (stage*/backbone*/newly_added) and the unused `bg` head are dropped."""
+    M = _resnet50_mapper("resnet50.")
+
+    def nest(res):
+        if res is None:
+            return None
+        coll, path, w = res
+        return coll, ("resnet50",) + path, w
+
+    M.rules = [(pat, (lambda fn: lambda m, w: nest(fn(m, w)))(fn)) for pat, fn in M.rules]
+
+    @M.rule(r"classifier\.weight")
+    def _cls(m, w):
+        return "params", ("classifier", "kernel"), t_conv(w)
+
+    @M.rule(r"(bg\.weight|stage\d\..*|backbone\..*|newly_added\..*)")
+    def _drop_dupes(m, w):
+        return None
+
+    return M.convert(sd, strict=strict)
