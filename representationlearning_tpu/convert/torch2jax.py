@@ -299,3 +299,224 @@ def convert_wavecam_net(sd: Mapping[str, np.ndarray], strict: bool = True) -> di
         return None
 
     return M.convert(sd, strict=strict)
+
+
+# ------------------------------------------------------------ HRNetV2 / RSSFormer
+def convert_hrnet(sd: Mapping[str, np.ndarray], strict: bool = True,
+                  prefix: str = "") -> dict:
+    """mmlab HRNetV2 (w18/32/40/48) checkpoints, plus the RSSFormer transformer blocks
+    when present (`_hrnet_rssformer.py`), -> HighResolutionNet variables.
+
+    Name map: stage{s}.{m}.X -> stage{s}_m{m}/X, branches.{b}.{k} -> branch{b}_block{k},
+    fuse_layers.{i}.{j} -> fuse{i}_{j}, transition{t}.{i} -> transition{t}/t{i}_*,
+    layer1.{b} -> layer1_{b}; conv OIHW->HWIO, Linear transposed, BN stats ->
+    batch_stats.
+    """
+    M = NameMapper()
+    P = re.escape(prefix)
+
+    def bn_leaf(which, w):
+        if which in ("weight", "bias"):
+            return "params", ("scale" if which == "weight" else "bias"), w
+        return "batch_stats", ("mean" if which == "running_mean" else "var"), w
+
+    def emit_bn(base_path, which, w):
+        coll, leaf, w = bn_leaf(which, w)
+        return coll, base_path + (leaf,), w
+
+    BN = r"(weight|bias|running_mean|running_var)"
+
+    # stem
+    @M.rule(P + r"conv([12])\.weight")
+    def _stem_conv(m, w):
+        return "params", ("backbone", f"conv{m.group(1)}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"bn([12])\." + BN)
+    def _stem_bn(m, w):
+        return emit_bn(("backbone", f"bn{m.group(1)}"), m.group(2), w)
+
+    # layer1 bottlenecks
+    @M.rule(P + r"layer1\.(\d)\.conv([123])\.weight")
+    def _l1_conv(m, w):
+        return "params", ("backbone", f"layer1_{m.group(1)}", f"conv{m.group(2)}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"layer1\.(\d)\.bn([123])\." + BN)
+    def _l1_bn(m, w):
+        return emit_bn(("backbone", f"layer1_{m.group(1)}", f"bn{m.group(2)}"), m.group(3), w)
+
+    @M.rule(P + r"layer1\.(\d)\.downsample\.0\.weight")
+    def _l1_ds_conv(m, w):
+        return "params", ("backbone", f"layer1_{m.group(1)}", "downsample_conv", "kernel"), t_conv(w)
+
+    @M.rule(P + r"layer1\.(\d)\.downsample\.1\." + BN)
+    def _l1_ds_bn(m, w):
+        return emit_bn(("backbone", f"layer1_{m.group(1)}", "downsample_bn"), m.group(2), w)
+
+    # transitions: existing-branch Sequential(conv, bn, relu) -> t{i}_conv / t{i}_bn
+    @M.rule(P + r"transition(\d)\.(\d)\.0\.weight")
+    def _tr_conv(m, w):
+        return "params", ("backbone", f"transition{m.group(1)}", f"t{m.group(2)}_conv", "kernel"), t_conv(w)
+
+    @M.rule(P + r"transition(\d)\.(\d)\.1\." + BN)
+    def _tr_bn(m, w):
+        return emit_bn(("backbone", f"transition{m.group(1)}", f"t{m.group(2)}_bn"), m.group(3), w)
+
+    # transitions: new-branch nested Sequential(.{j}.0 conv / .{j}.1 bn)
+    @M.rule(P + r"transition(\d)\.(\d)\.(\d)\.0\.weight")
+    def _tr_new_conv(m, w):
+        return "params", ("backbone", f"transition{m.group(1)}", f"t{m.group(2)}_conv{m.group(3)}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"transition(\d)\.(\d)\.(\d)\.1\." + BN)
+    def _tr_new_bn(m, w):
+        return emit_bn(("backbone", f"transition{m.group(1)}", f"t{m.group(2)}_bn{m.group(3)}"), m.group(4), w)
+
+    # stage branches (BasicBlocks)
+    @M.rule(P + r"stage(\d)\.(\d)\.branches\.(\d)\.(\d)\.conv([12])\.weight")
+    def _br_conv(m, w):
+        s, mm, b, k, c = m.groups()
+        return "params", ("backbone", f"stage{s}_m{mm}", f"branch{b}_block{k}", f"conv{c}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"stage(\d)\.(\d)\.branches\.(\d)\.(\d)\.bn([12])\." + BN)
+    def _br_bn(m, w):
+        s, mm, b, k, c, which = m.groups()
+        return emit_bn(("backbone", f"stage{s}_m{mm}", f"branch{b}_block{k}", f"bn{c}"), which, w)
+
+    @M.rule(P + r"stage(\d)\.(\d)\.branches\.(\d)\.(\d)\.downsample\.0\.weight")
+    def _br_ds_conv(m, w):
+        s, mm, b, k = m.groups()
+        return "params", ("backbone", f"stage{s}_m{mm}", f"branch{b}_block{k}", "downsample_conv", "kernel"), t_conv(w)
+
+    @M.rule(P + r"stage(\d)\.(\d)\.branches\.(\d)\.(\d)\.downsample\.1\." + BN)
+    def _br_ds_bn(m, w):
+        s, mm, b, k, which = m.groups()
+        return emit_bn(("backbone", f"stage{s}_m{mm}", f"branch{b}_block{k}", "downsample_bn"), which, w)
+
+    # fuse layers: j > i Sequential(conv, bn, up) ; j < i nested (.{k}.0/.{k}.1)
+    @M.rule(P + r"stage(\d)\.(\d)\.fuse_layers\.(\d)\.(\d)\.0\.weight")
+    def _fuse_up_conv(m, w):
+        s, mm, i, j = m.groups()
+        return "params", ("backbone", f"stage{s}_m{mm}", f"fuse{i}_{j}", "conv", "kernel"), t_conv(w)
+
+    @M.rule(P + r"stage(\d)\.(\d)\.fuse_layers\.(\d)\.(\d)\.1\." + BN)
+    def _fuse_up_bn(m, w):
+        s, mm, i, j, which = m.groups()
+        return emit_bn(("backbone", f"stage{s}_m{mm}", f"fuse{i}_{j}", "bn"), which, w)
+
+    @M.rule(P + r"stage(\d)\.(\d)\.fuse_layers\.(\d)\.(\d)\.(\d)\.0\.weight")
+    def _fuse_down_conv(m, w):
+        s, mm, i, j, k = m.groups()
+        return "params", ("backbone", f"stage{s}_m{mm}", f"fuse{i}_{j}", f"conv{k}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"stage(\d)\.(\d)\.fuse_layers\.(\d)\.(\d)\.(\d)\.1\." + BN)
+    def _fuse_down_bn(m, w):
+        s, mm, i, j, k, which = m.groups()
+        return emit_bn(("backbone", f"stage{s}_m{mm}", f"fuse{i}_{j}", f"bn{k}"), which, w)
+
+    # RSSFormer transformer block inside each module
+    T = r"stage(\d)\.(\d)\.transformer\."
+
+    @M.rule(P + T + r"norm([12])\.(weight|bias)")
+    def _tf_ln(m, w):
+        s, mm, n, which = m.groups()
+        leaf = "scale" if which == "weight" else "bias"
+        return "params", ("backbone", f"stage{s}_m{mm}", "transformer", f"norm{n}", leaf), w
+
+    @M.rule(P + T + r"attn\.atrous_block([12])\.conv1\.weight")
+    def _tf_sa(m, w):
+        s, mm, n = m.groups()
+        return "params", ("backbone", f"stage{s}_m{mm}", "transformer", "attn",
+                          f"atrous_block{n}", "conv1", "kernel"), t_conv(w)
+
+    @M.rule(P + T + r"attn\.weight_levels\.(weight|bias)")
+    def _tf_wl(m, w):
+        s, mm, which = m.groups()
+        leaf = "kernel" if which == "weight" else "bias"
+        w = t_conv(w) if which == "weight" else w
+        return "params", ("backbone", f"stage{s}_m{mm}", "transformer", "attn",
+                          "weight_levels", leaf), w
+
+    @M.rule(P + T + r"attn\.attn\.(q_proj|k_proj|v_proj|out_proj)\.(weight|bias)")
+    def _tf_mha(m, w):
+        s, mm, proj, which = m.groups()
+        leaf = "kernel" if which == "weight" else "bias"
+        w = t_linear(w) if which == "weight" else w
+        return "params", ("backbone", f"stage{s}_m{mm}", "transformer", "attn", "attn",
+                          proj, leaf), w
+
+    @M.rule(P + T + r"mlp\.(fc1|fc2|dw|dw6|dw12)\.(weight|bias)")
+    def _tf_mlp_conv(m, w):
+        s, mm, conv, which = m.groups()
+        leaf = "kernel" if which == "weight" else "bias"
+        w = t_conv(w) if which == "weight" else w
+        return "params", ("backbone", f"stage{s}_m{mm}", "transformer", "mlp", conv, leaf), w
+
+    @M.rule(P + T + r"mlp\.norm([123])\." + BN)
+    def _tf_mlp_bn(m, w):
+        s, mm, n, which = m.groups()
+        return emit_bn(("backbone", f"stage{s}_m{mm}", "transformer", "mlp", f"norm{n}"), which, w)
+
+    @M.rule(r".*num_batches_tracked")
+    def _drop_nbt2(m, w):
+        return None
+
+    @M.rule(r"(incre_modules|downsamp_modules|final_layer|classifier)\..*")
+    def _drop_cls_head(m, w):
+        return None  # imagenet classification head of mmlab checkpoints
+
+    return M.convert(sd, strict=strict)
+
+
+def convert_rssformer(sd: Mapping[str, np.ndarray], strict: bool = True) -> dict:
+    """Full HRNetFusion checkpoint (`module/baseline/hrnet_aux.py:70-134`): backbone
+    under `backbone.hrnet.` (HRNetEncoder wraps the net), neck/head/headaux on top."""
+    M = NameMapper()
+
+    @M.rule(r"neck\.fuse_conv\.0\.(weight|bias)")
+    def _neck_conv(m, w):
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        w = t_conv(w) if m.group(1) == "weight" else w
+        return "params", ("neck", "conv", leaf), w
+
+    @M.rule(r"neck\.fuse_conv\.1\.(weight|bias|running_mean|running_var)")
+    def _neck_bn(m, w):
+        which = m.group(1)
+        if which in ("weight", "bias"):
+            return "params", ("neck", "bn", "scale" if which == "weight" else "bias"), w
+        return "batch_stats", ("neck", "bn", "mean" if which == "running_mean" else "var"), w
+
+    @M.rule(r"head\.0\.(weight|bias)")
+    def _head(m, w):
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        w = t_conv(w) if m.group(1) == "weight" else w
+        return "params", ("head_conv", leaf), w
+
+    @M.rule(r"headaux\.0\.(weight|bias)")
+    def _headaux(m, w):
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        w = t_linear(w) if m.group(1) == "weight" else w
+        return "params", ("headaux", leaf), w
+
+    top = {k: v for k, v in sd.items()
+           if k.startswith(("neck.", "head.", "headaux."))}
+    out = M.convert(top, strict=strict)
+
+    # everything else is the encoder; strip whatever wrapper prefix it carries
+    enc = {}
+    for k, v in sd.items():
+        if k.startswith(("neck.", "head.", "headaux.", "loss.")):
+            continue
+        for pre in ("backbone.hrnet.", "backbone.model.", "backbone.encoder.", "backbone."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        enc[k] = v
+    enc_out = convert_hrnet(enc, strict=strict)
+    params = out.get("params", {})
+    params.update(enc_out.get("params", {}))
+    res = {"params": params}
+    bs = {}
+    bs.update(out.get("batch_stats", {}))
+    bs.update(enc_out.get("batch_stats", {}))
+    if bs:
+        res["batch_stats"] = bs
+    return res

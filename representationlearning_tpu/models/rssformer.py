@@ -1,0 +1,72 @@
+"""RSSFormer model (registry name 'RSSFormer') — parity with
+`RSSFormer-TIP2023/module/baseline/hrnet_aux.py:70-134`.
+
+HRNetV2 encoder with transformer fusion + SimpleFusion8 neck (upsample-all-to-1/4
+align_corners=True, concat, 1x1 conv-BN-relu; also returns the raw branch-0 feature) +
+1x1 classifier head with x4 bilinear upsample (UpsamplingBilinear2d == align_corners
+True) + aux linear head on the pooled branch-0 feature. Training returns the CGFL loss
+dict; eval returns softmax probabilities.
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.registry import MODELS
+from ..losses.cgfl import segmentation_loss_aux
+from ..ops.image import adaptive_avg_pool_11, resize_bilinear
+from .hrnet import HRNET_EXTRA, HighResolutionNet
+from .layers import TorchConv
+
+
+class SimpleFusion8(nn.Module):
+    in_channels: int
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False):
+        x0 = feats[0]
+        tgt = x0.shape[1:3]
+        ups = [x0] + [resize_bilinear(f, tgt, align_corners=True) for f in feats[1:]]
+        x = jnp.concatenate(ups, axis=-1)
+        x = TorchConv(self.in_channels, (1, 1), name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         name="bn")(x)
+        return nn.relu(x), x0
+
+
+@MODELS.register("RSSFormer")
+class HRNetFusion(nn.Module):
+    hrnet_type: str = "hrnetv2_w32"
+    classes: int = 7
+    upsample_scale: int = 4
+    with_transformer: bool = True
+    loss_config: Mapping = None  # type: ignore[assignment]
+    ignore_index: int = -1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        widths = HRNET_EXTRA[self.hrnet_type]["widths"]
+        self.neck_channels = sum(widths)
+        self.backbone = HighResolutionNet(
+            self.hrnet_type, with_transformer=self.with_transformer,
+            dtype=self.dtype, name="backbone",
+        )
+        self.neck = SimpleFusion8(self.neck_channels, name="neck")
+        self.head_conv = nn.Conv(self.classes, (1, 1), name="head_conv")
+        self.headaux = nn.Dense(self.classes, name="headaux")
+
+    def __call__(self, x, y=None, train: bool = False):
+        feats = self.backbone(x, train=train)
+        fused, f0 = self.neck(feats, train=train)
+        aux_logits = self.headaux(adaptive_avg_pool_11(f0).reshape(x.shape[0], -1))
+        logit = self.head_conv(fused)
+        H, W = logit.shape[1] * self.upsample_scale, logit.shape[2] * self.upsample_scale
+        logit = resize_bilinear(logit, (H, W), align_corners=True)
+
+        if train:
+            cfg = self.loss_config or {"ce": {}}
+            return segmentation_loss_aux(logit, y, aux_logits, cfg, self.ignore_index)
+        return jax.nn.softmax(logit, axis=-1)

@@ -1,0 +1,202 @@
+"""RSSFormer transformer modules — parity with
+`RSSFormer-TIP2023/module/baseline/base_hrnet/modules/`:
+
+- SpatialAttention (`multihead_isa_pool_attention.py:104-117`): channel mean+max ->
+  7x7 conv -> sigmoid gate map.
+- InterlacedPoolAttention2 (`:117-188`): softmax fusion of the two input streams from
+  their spatial-attention maps, 7x7 window partition (center-padded; despite the
+  "interlaced" name the einops pattern `(qh ph)` groups CONTIGUOUS windows), then
+  cross-attention (q from x, k/v from y) with a standard MHA (Mhca, `DAL.py:676+` —
+  note: no relative position bias is actually wired in, the `rpe` kwarg is consumed
+  before reaching Mhca).
+- MlpDWBN (`ffn_block.py:207-270`): 1x1 conv-BN-GELU -> sum of {1x1, 3x3 d6, 3x3 d12}
+  branches -> BN-GELU -> 1x1 conv-BN-GELU (SyncBN == BatchNorm under pjit global batch).
+- GeneralTransformerBlock (`MTFM.py:48-120`): pre-LN attention + MlpDWBN FFN with
+  drop-path residuals; takes (x=low-fused, y=high-res) NHWC maps.
+
+All NHWC; window attention batches (B * n_windows, ws*ws, C) so the MXU sees one big
+batched matmul per layer.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import DropPath, TorchConv, trunc_normal_init
+
+
+class SpatialAttention(nn.Module):
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        avg = x.mean(axis=-1, keepdims=True)
+        mx = x.max(axis=-1, keepdims=True)
+        h = jnp.concatenate([avg, mx], axis=-1)
+        p = self.kernel_size // 2
+        h = TorchConv(1, (self.kernel_size, self.kernel_size), padding=(p, p),
+                      use_bias=False, name="conv1")(h)
+        return jax.nn.sigmoid(h)
+
+
+def window_pad(x: jax.Array, ws: int):
+    """Center-pad H, W of NHWC to multiples of ws (`PadBlock.pad_if_needed`)."""
+    B, H, W, C = x.shape
+    ph = (-H) % ws
+    pw = (-W) % ws
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)))
+    return x, (H, W)
+
+
+def window_depad(x: jax.Array, orig_hw, ws: int):
+    H, W = orig_hw
+    ph = (-H) % ws
+    pw = (-W) % ws
+    if ph or pw:
+        x = x[:, ph // 2 : ph // 2 + H, pw // 2 : pw // 2 + W, :]
+    return x
+
+
+def window_partition(x: jax.Array, ws: int):
+    """(B, H, W, C) -> (B*qh*qw, ws*ws, C), contiguous ws x ws blocks."""
+    B, H, W, C = x.shape
+    qh, qw = H // ws, W // ws
+    x = x.reshape(B, qh, ws, qw, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B * qh * qw, ws * ws, C)
+
+
+def window_reverse(x: jax.Array, ws: int, B: int, H: int, W: int):
+    qh, qw = H // ws, W // ws
+    C = x.shape[-1]
+    x = x.reshape(B, qh, qw, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+class Mhca(nn.Module):
+    """Cross multi-head attention with separate q/k/v projections
+    (`DAL.py:676-900`): q scaled by head_dim^-0.5 before the product."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, deterministic: bool = True):
+        """query/key/value: (B, S, C). Returns (B, S, C)."""
+        B, S, C = query.shape
+        nh, hd = self.num_heads, C // self.num_heads
+        scaling = hd ** -0.5
+        q = nn.Dense(C, use_bias=self.use_bias, name="q_proj")(query) * scaling
+        k = nn.Dense(C, use_bias=self.use_bias, name="k_proj")(key)
+        v = nn.Dense(C, use_bias=self.use_bias, name="v_proj")(value)
+        q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, -1, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, -1, nh, hd).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhsd,bhtd->bhst", q.astype(self.dtype), k.astype(self.dtype),
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhst,bhtd->bhsd", attn.astype(self.dtype), v.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, C)
+        return nn.Dense(C, name="out_proj")(out)
+
+
+class InterlacedPoolAttention2(nn.Module):
+    embed_dim: int
+    num_heads: int
+    window_size: int = 7
+    attn_drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, H: int, W: int, deterministic: bool = True):
+        """x, y: (B, N, C) token streams. Returns (B, N, C)."""
+        B, N, C = x.shape
+        xm = x.reshape(B, H, W, C)
+        ym = y.reshape(B, H, W, C)
+
+        w0 = SpatialAttention(name="atrous_block1")(xm)
+        w1 = SpatialAttention(name="atrous_block2")(ym)
+        lv = jnp.concatenate([w0, w1], axis=-1)
+        lv = TorchConv(2, (1, 1), name="weight_levels")(lv)
+        lv = jax.nn.softmax(lv, axis=-1)
+        xm = xm * lv[..., 0:1]
+        ym = ym * lv[..., 1:2]
+
+        ws = self.window_size
+        xp, orig = window_pad(xm, ws)
+        yp, _ = window_pad(ym, ws)
+        Hp, Wp = xp.shape[1:3]
+        xw = window_partition(xp, ws)
+        yw = window_partition(yp, ws)
+        out = Mhca(self.embed_dim, self.num_heads, self.attn_drop, dtype=self.dtype,
+                   name="attn")(xw, yw, yw, deterministic=deterministic)
+        out = window_reverse(out, ws, B, Hp, Wp)
+        out = window_depad(out, orig, ws)
+        return out.reshape(B, N, C)
+
+
+class MlpDWBN(nn.Module):
+    hidden_features: int
+    out_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int, train: bool = False):
+        """x: (B, N, C) tokens. Returns (B, N, out_features)."""
+        B, N, C = x.shape
+        h = x.reshape(B, H, W, C)
+
+        def bn(v, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=name)(v)
+
+        h = TorchConv(self.hidden_features, (1, 1), name="fc1")(h)
+        h = bn(h, "norm1")
+        h = nn.gelu(h, approximate=False)
+        b1 = TorchConv(self.hidden_features, (1, 1), name="dw")(h)
+        b6 = TorchConv(self.hidden_features, (3, 3), padding=(6, 6), dilation=(6, 6), name="dw6")(h)
+        b12 = TorchConv(self.hidden_features, (3, 3), padding=(12, 12), dilation=(12, 12), name="dw12")(h)
+        h = b1 + b6 + b12
+        h = bn(h, "norm2")
+        h = nn.gelu(h, approximate=False)
+        h = TorchConv(self.out_features, (1, 1), name="fc2")(h)
+        h = bn(h, "norm3")
+        h = nn.gelu(h, approximate=False)
+        return h.reshape(B, N, self.out_features)
+
+
+class GeneralTransformerBlock(nn.Module):
+    """MTFM / Adaptive-TransFusion block. Inputs are NHWC maps (x=summed lower-res
+    fusion, y=the high-res branch); output NHWC (`MTFM.py:101-113`)."""
+
+    dim: int
+    num_heads: int = 2
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    attn_drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, train: bool = False):
+        B, H, W, C = x.shape
+        xt = x.reshape(B, H * W, C)
+        yt = y.reshape(B, H * W, C)
+        norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1")
+        a = InterlacedPoolAttention2(
+            self.dim, self.num_heads, self.window_size, self.attn_drop,
+            dtype=self.dtype, name="attn",
+        )(norm1(xt), norm1(yt), H, W, deterministic=not train)
+        xt = xt + DropPath(self.drop_path)(a, deterministic=not train)
+        m = MlpDWBN(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                    name="mlp")(nn.LayerNorm(epsilon=1e-6, name="norm2")(xt), H, W, train=train)
+        xt = xt + DropPath(self.drop_path)(m, deterministic=not train)
+        return xt.reshape(B, H, W, C)

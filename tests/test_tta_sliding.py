@@ -1,0 +1,74 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from representationlearning_tpu.infer import tta as TTA
+from representationlearning_tpu.infer.sliding import (
+    sharded_sliding_window_predict, sliding_window_predict,
+)
+from representationlearning_tpu.parallel import mesh as M
+
+
+@pytest.mark.parametrize("t", [
+    TTA.Identity(), TTA.Rotate90k(1), TTA.Rotate90k(2), TTA.Rotate90k(3),
+    TTA.HorizontalFlip(), TTA.VerticalFlip(), TTA.Transpose(),
+])
+def test_tta_roundtrip_exact(t):
+    """Generalization of the reference's only unit test (`tta.py:138-153`)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 12, 12, 3)).astype(np.float32))
+    back = t.inv_transform(t.transform(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+@pytest.mark.parametrize("sf", [0.5, 0.75, 1.25, 2.0])
+def test_tta_scale_roundtrip_approx(sf):
+    rng = np.random.default_rng(1)
+    # smooth signal so scale round-trip is accurate
+    g = np.linspace(0, 1, 16)
+    x = jnp.asarray((g[None, :, None, None] * g[None, None, :, None]).astype(np.float32))
+    t = TTA.Scale(scale_factor=sf)
+    back = t.inv_transform(t.transform(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0.05)
+
+
+def test_tta_average_identity_model():
+    x = jnp.asarray(np.random.default_rng(2).random((1, 8, 8, 3)).astype(np.float32))
+    out = TTA.tta(lambda v: v, x, TTA.full_tta_config())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def _local_model(n_out):
+    """A deterministic local model: 3x3 mean filter + per-channel mix (receptive field
+    fits in a window, so sharded and single-chip runs must agree exactly)."""
+    k = jnp.asarray(np.ones((3, 3, 3, n_out), np.float32) / 9.0)
+
+    def fn(tiles):  # (B, w, w, C)
+        return jax.lax.conv_general_dilated(
+            tiles, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    return fn
+
+
+@pytest.mark.parametrize("window,stride", [(16, 8), (16, 16), (24, 8)])
+def test_sharded_sliding_equals_single(devices8, window, stride):
+    n_out = 4
+    mesh = M.make_mesh(n_data=1, n_model=8)
+    rng = np.random.default_rng(3)
+    H, W = 128, 48
+    img = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    fn = _local_model(n_out)
+
+    single = sliding_window_predict(fn, img, window, stride, n_out)
+    sharded = sharded_sliding_window_predict(fn, img, mesh, window, stride, n_out)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_sliding_rejects_bad_shapes(devices8):
+    mesh = M.make_mesh(n_data=1, n_model=8)
+    img = jnp.zeros((60, 48, 3))
+    with pytest.raises(ValueError):
+        sharded_sliding_window_predict(_local_model(2), img, mesh, 16, 8, 2)
