@@ -1,0 +1,112 @@
+"""RML model — parity with `RML/network/RML_model.py` (class `TSCD` there; the shipped
+trainer imports the broken name `RML`, SURVEY.md §0 — we implement the behavior).
+
+Delta over SCD's TSCD: the SegFormer head is REPLACED by a `SimpleFusion8` neck
+(upsample all stages to 1/4 align_corners=True, concat 1024ch, 1x1 conv -> BN -> relu
+to a hard-coded 15-channel seg output, `RML_model.py:100-126`); plus `Class_Predictor`
+(per-class 1x1 classifier over masked class features, `:129-157`) and optionally the
+PATM wave block on stage-4 features (`backbone/model_attn_aff.py:126,801,838`).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.registry import MODELS
+from ..ops.image import adaptive_avg_pool_11, adaptive_max_pool_11, resize_bilinear
+from .layers import TorchConv
+from .mit import MIT_CONFIGS, MixVisionTransformer
+from .wavemlp import PATM
+
+
+class SimpleFusionNeck(nn.Module):
+    """`SimpleFusion8` (`RML_model.py:100-126`): concat all stages at 1/4 (bilinear,
+    align_corners=True) -> 1x1 conv to `out_ch` -> BN -> relu."""
+
+    out_ch: int = 15
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x0 = feats[0]
+        tgt = x0.shape[1:3]
+        ups = [x0] + [resize_bilinear(f, tgt, align_corners=True) for f in feats[1:]]
+        x = jnp.concatenate(ups, axis=-1)
+        x = TorchConv(self.out_ch, (1, 1), name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        return nn.relu(x)
+
+
+@MODELS.register("RML")
+class RMLModel(nn.Module):
+    backbone: str = "mit_b1"
+    num_classes: int = 21
+    seg_classes: int = 15  # neck output hard-coded to 15 in the reference
+    strides: tuple = (4, 2, 2, 1)
+    pooling: str = "gmp"
+    use_wave: bool = False  # PATM on stage-4 features (model_attn_aff WeTr variant)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = dict(MIT_CONFIGS[self.backbone])
+        self.encoder = MixVisionTransformer(
+            strides=self.strides, dtype=self.dtype, **cfg, name="encoder"
+        )
+        self.neck = SimpleFusionNeck(self.seg_classes, name="neck")
+        self.attn_proj = nn.Conv(1, (1, 1), use_bias=True, name="attn_proj")
+        self.classifier = nn.Conv(self.num_classes - 1, (1, 1), use_bias=False,
+                                  name="classifier")
+        if self.use_wave:
+            self.wave = PATM(self.num_classes - 1, name="wave")
+
+    def __call__(self, x, cam_only: bool = False, train: bool = False):
+        feats, attns = self.encoder(x, deterministic=not train)
+        x4 = feats[3]
+
+        attn_cat = jnp.concatenate(attns[-2:], axis=1)
+        attn_pred = jax.nn.sigmoid(self.attn_proj(attn_cat.transpose(0, 2, 3, 1))[..., 0])
+
+        if self.is_initializing() and self.use_wave:
+            # the wave block only runs on the cam_only path; touch it at init so its
+            # params exist regardless of which path initializes the model
+            _ = self.wave(self.classifier(x4), train=False)
+
+        if cam_only:
+            cam_s4 = self.classifier(x4)
+            if self.use_wave:
+                cam_s4 = self.wave(cam_s4, train=train)
+            return jax.lax.stop_gradient(cam_s4), attn_pred
+
+        seg = self.neck(feats, train=train)
+        pooled = adaptive_max_pool_11(x4) if self.pooling == "gmp" else adaptive_avg_pool_11(x4)
+        cls_logits = self.classifier(pooled).reshape(x.shape[0], self.num_classes - 1)
+        return cls_logits, seg, attns, attn_pred
+
+
+@MODELS.register("rml_class_predictor")
+class ClassPredictor(nn.Module):
+    """`Class_Predictor` (`RML_model.py:129-157`): masked per-class CE over class
+    features, loss normalized by batch size, acc by present-class count."""
+
+    num_classes: int = 20
+    representation_size: int = 512
+
+    @nn.compact
+    def __call__(self, x, label):
+        """x: (B, num_classes, representation_size); label: (B, num_classes)."""
+        B, C, F = x.shape
+        kernel = self.param("classifier_kernel", nn.initializers.lecun_normal(),
+                            (self.representation_size, self.num_classes))
+        logits = jnp.einsum("bcf,fk->bck", x, kernel, preferred_element_type=jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        diag_nll = -jnp.diagonal(logp, axis1=1, axis2=2)
+        mask = (label > 0).astype(logits.dtype)
+        n_per = mask.sum(axis=1)
+        per_sample = (diag_nll * mask).sum(axis=1) / jnp.maximum(n_per, 1.0)
+        loss = per_sample.sum() / B
+        pred = logits.argmax(axis=-1)
+        correct = ((pred == jnp.arange(C)[None, :]) * mask).sum()
+        acc = correct / jnp.maximum(mask.sum(), 1.0)
+        return loss, acc
