@@ -130,3 +130,31 @@ def make_sgd(
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.sgd(schedule or learning_rate, momentum=momentum))
     return optax.chain(*parts)
+
+
+def sgdr_schedule(base_lr: float, steps_per_epoch: int, epoch_start: int = 1,
+                  restart_mult: int = 2, total_steps: int | None = None):
+    """Warm-restart cosine schedule (WaveCAM SGDROptimizer,
+    `misc/torchutils.py:33-63`): cosine within a window whose length multiplies by
+    `restart_mult` at each restart; amplitude decays by 1/(restarts+1).
+
+    Built as a host-side table (restart boundaries are data-dependent in the
+    reference's stateful step) — total_steps bounds the table length."""
+    import numpy as _np
+
+    total = total_steps or steps_per_epoch * 128
+    lrs = _np.zeros((total,), _np.float32)
+    local, max_step, restarts = 0, steps_per_epoch * epoch_start, 0
+    for g in range(total):
+        if local >= max_step:
+            local = 0
+            max_step *= restart_mult
+            restarts += 1
+        lrs[g] = base_lr * (1 + _np.cos(_np.pi * local / max_step)) / 2 / (restarts + 1)
+        local += 1
+    table = jnp.asarray(lrs)
+
+    def sched(step):
+        return table[jnp.clip(step, 0, total - 1)]
+
+    return sched
