@@ -1,0 +1,146 @@
+"""SCD end-to-end WSSS trainer CLI — the `scripts/dist_train_voc.py` equivalent
+(`SCD-AAAI2023/scripts/dist_train_voc.py:435-464`: YAML config + CLI overrides,
+seeding, logging, periodic validation + checkpointing).
+
+Usage:
+    python -m representationlearning_tpu.cli.train_scd --config configs/scd_voc.yaml \
+        [key.sub=value ...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config, load_yaml
+from ..core.logging import AverageMeter, Timer, setup_logger
+from ..data.voc import BatchLoader, VOC12ClsDataset, VOC12SegDataset
+from ..metrics.seg import SegMetricAccumulator
+from ..models.tscd import TSCD
+from ..parallel import mesh as M
+from ..train import checkpoints as CK
+from ..train.optim import make_poly_warmup_adamw, tscd_param_labels
+from ..train.scd import SCDConfig, make_scd_eval_step, make_scd_train_step
+from ..train.state import TrainState
+
+
+def default_config() -> Config:
+    return Config({
+        "backbone": {"config": "mit_b1", "stride": [4, 2, 2, 1]},
+        "dataset": {"root_dir": None, "name_list_dir": None, "num_classes": 21,
+                     "crop_size": 320, "rescale_range": [0.5, 2.0], "ignore_index": 255,
+                     "synthetic_n": 32},
+        "work_dir": {"dir": "work_dir_voc"},
+        "train": {"split": "train_aug", "samples_per_gpu": 2, "max_iters": 20000,
+                   "cam_iters": 2000, "eval_iters": 2000, "log_iters": 200},
+        "cam": {"bkg_score": 0.45, "high_thre": 0.55, "low_thre": 0.35,
+                 "scales": [1.0, 0.5, 1.5]},
+        "optimizer": {"learning_rate": 6e-5, "betas": [0.9, 0.999], "weight_decay": 0.01},
+        "scheduler": {"warmup_iter": 1500, "warmup_ratio": 1e-6, "power": 1.0},
+        "seed": 1,
+    })
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    cfg = default_config()
+    if args.config:
+        cfg.merge(load_yaml(args.config))
+    cfg.apply_overrides(args.overrides)
+
+    os.makedirs(cfg.work_dir.dir, exist_ok=True)
+    log = setup_logger("scd", os.path.join(cfg.work_dir.dir, "train.log"))
+    log.info("config: %s", cfg.to_dict())
+    np.random.seed(cfg.seed)
+
+    mesh = M.make_mesh()
+    n_dev = mesh.shape[M.DATA_AXIS]
+    global_batch = cfg.train.samples_per_gpu * n_dev
+
+    scd_cfg = SCDConfig(
+        num_classes=cfg.dataset.num_classes, crop_size=cfg.dataset.crop_size,
+        cam_scales=tuple(cfg.cam.scales), bkg_score=cfg.cam.bkg_score,
+        high_thre=cfg.cam.high_thre, low_thre=cfg.cam.low_thre,
+        ignore_index=cfg.dataset.ignore_index, cam_iters=cfg.train.cam_iters,
+    )
+    model = TSCD(backbone=cfg.backbone.config, num_classes=cfg.dataset.num_classes,
+                 strides=tuple(cfg.backbone.stride))
+
+    train_ds = VOC12ClsDataset(
+        root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
+        split=cfg.train.split, crop_size=cfg.dataset.crop_size,
+        rescale_range=tuple(cfg.dataset.rescale_range), num_classes=cfg.dataset.num_classes,
+        ignore_index=cfg.dataset.ignore_index, seed=cfg.seed,
+        synthetic_n=cfg.dataset.get("synthetic_n", 32),
+    )
+    val_ds = VOC12SegDataset(
+        root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
+        split="val", num_classes=cfg.dataset.num_classes, aug=False, seed=cfg.seed,
+        synthetic_n=cfg.dataset.get("synthetic_n", 32),
+    )
+
+    variables = model.init(jax.random.PRNGKey(cfg.seed),
+                           jnp.zeros((1, cfg.dataset.crop_size, cfg.dataset.crop_size, 3)))
+    tx = make_poly_warmup_adamw(
+        cfg.optimizer.learning_rate, cfg.optimizer.weight_decay,
+        cfg.scheduler.warmup_iter, cfg.train.max_iters,
+        cfg.scheduler.warmup_ratio, cfg.scheduler.power,
+        betas=tuple(cfg.optimizer.betas),
+        param_labels=tscd_param_labels(variables["params"]),
+    )
+    state = TrainState.create(model.apply, variables, tx)
+    ckpt_dir = os.path.join(cfg.work_dir.dir, "checkpoints")
+    if CK.latest_step(ckpt_dir) is not None:
+        state = CK.restore(ckpt_dir, state)
+        log.info("resumed from step %d", int(state.step))
+
+    state = M.replicate(mesh, state)
+    step_fn = make_scd_train_step(model.apply, scd_cfg)
+    eval_fn = make_scd_eval_step(model.apply, scd_cfg)
+
+    meter = AverageMeter()
+    timer = Timer(cfg.train.max_iters)
+    loader = iter(BatchLoader(train_ds, global_batch, seed=cfg.seed))
+    start = int(state.step)
+    for n_iter in range(start, cfg.train.max_iters):
+        _, img, cls_label, box = next(loader)
+        batch = M.shard_batch(mesh, {
+            "image": img, "cls_label": cls_label, "img_box": box.astype(np.int32),
+        })
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(cfg.seed * 131 + n_iter))
+        meter.add(**{k: float(v) for k, v in metrics.items()})
+
+        if (n_iter + 1) % cfg.train.log_iters == 0:
+            means = meter.pop()
+            log.info("iter %d/%d %s eta %.0fs", n_iter + 1, cfg.train.max_iters,
+                     " ".join(f"{k}={v:.4f}" for k, v in means.items()),
+                     timer.eta(n_iter + 1 - start))
+        if (n_iter + 1) % cfg.train.eval_iters == 0 or n_iter + 1 == cfg.train.max_iters:
+            CK.save(ckpt_dir, n_iter + 1, state)
+            scores = validate(model, state.variables, val_ds, eval_fn, scd_cfg)
+            log.info("validate @%d: seg_miou=%.4f cam_miou=%.4f",
+                     n_iter + 1, scores["seg"]["miou"], scores["cam"]["miou"])
+    return state
+
+
+def validate(model, variables, val_ds, eval_fn, scd_cfg, max_samples: int = 64):
+    seg_acc = SegMetricAccumulator(scd_cfg.num_classes)
+    cam_acc = SegMetricAccumulator(scd_cfg.num_classes)
+    for i in range(min(len(val_ds), max_samples)):
+        _, img, label, cls_label = val_ds[i]
+        out = eval_fn(variables, {"image": jnp.asarray(img)[None],
+                                  "cls_label": jnp.asarray(cls_label)[None]})
+        seg_acc.update(label[None], np.asarray(out["seg_pred"]))
+        cam_acc.update(label[None], np.asarray(out["cam_label"]))
+    return {"seg": seg_acc.compute(), "cam": cam_acc.compute()}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""CLI smoke tests: every entry point runs a tiny synthetic recipe end-to-end."""
+import numpy as np
+import pytest
+
+
+def test_train_scd_cli(tmp_path):
+    from representationlearning_tpu.cli.train_scd import main
+
+    state = main([
+        "--config", "configs/scd_voc.yaml",
+        "backbone.config=mit_b0",
+        "dataset.crop_size=64", "dataset.num_classes=6", "dataset.synthetic_n=8",
+        "train.max_iters=2", "train.cam_iters=-1", "train.eval_iters=2",
+        "train.log_iters=1", "train.samples_per_gpu=1",
+        f"work_dir.dir={tmp_path}",
+    ])
+    assert int(state.step) == 2
+    import os
+
+    assert os.path.isdir(os.path.join(tmp_path, "checkpoints", "step_2"))
+
+
+def test_rssformer_cli_train_eval_predict(tmp_path):
+    from representationlearning_tpu.cli.rssformer import main
+
+    wd = str(tmp_path / "wd")
+    common = [
+        "--config", "configs/rssformer_loveda.yaml",
+        "model.hrnet_type=hrnetv2_w18", "data.crop_size=64", "data.batch_size=2",
+        "data.synthetic_n=4", "train.num_iters=2", "train.log_interval_step=1",
+        "train.eval_interval=2", f"work_dir={wd}",
+    ]
+    state = main(["train"] + common)
+    assert int(state.step) == 2
+    scores = main(["eval"] + common)
+    assert 0.0 <= scores["miou"] <= 1.0
+    out = main(["predict", "--out_dir", str(tmp_path / "pred")] + common)
+    import os
+
+    assert len(os.listdir(out)) == 4
+
+
+def test_drfl_cli_train_and_sweep(tmp_path):
+    from representationlearning_tpu.cli.train_drfl import main
+
+    common = [
+        "--config", "configs/drfl.yaml",
+        "crop_size=64", "synthetic_size=64", "synthetic_n=2", "batch_size=2",
+        "epochs=1", "num_vit_layers=1", f"output={tmp_path}",
+    ]
+    history = main(["train"] + common)
+    assert len(history) == 1
+    res = main(["test", "--sweep"] + common)
+    assert "best_threshold" in res
+
+
+def test_run_wavecam_cli(tmp_path):
+    from representationlearning_tpu.cli.run_wavecam import main
+
+    results = main([
+        "--work_dir", str(tmp_path), "--crop_size", "48",
+        "--cam_batch_size", "4", "--cam_epochs", "1",
+        "--cam_learning_rate", "0.005",
+        "--cam_scales", "1.0",
+        "--train_cam_pass", "--make_cam_pass", "--eval_cam_pass",
+    ])
+    assert 0.0 <= results["eval_cam"] <= 1.0
