@@ -23,18 +23,25 @@ import numpy as np
 A100_EST_TILES_PER_SEC = 100.0
 
 
-def device_seconds_per_call(fn, *args, k_short=1, k_long=11, reps=3):
-    """Time fn(*args, k) with a scan of length k inside; return (t(k_long)-t(k_short))
-    / (k_long - k_short). fn must force a host fetch (return a scalar we float())."""
+def device_seconds_per_call(fn, *args, k_short=1, k_long=11, reps=5):
+    """Time fn(*args, k) with a scan of length k inside; return the median of
+    per-rep differences (t(k_long)-t(k_short)) / (k_long-k_short). The tunneled
+    runtime has high run-to-run variance, so medians of paired runs are used.
+    fn must force a host fetch (return a scalar we float())."""
+    import statistics
+
     for k in (k_short, k_long):
         fn(*args, k)  # compile
-    ts = {}
-    for k in (k_short, k_long):
+    diffs = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            fn(*args, k)
-        ts[k] = (time.perf_counter() - t0) / reps
-    return (ts[k_long] - ts[k_short]) / (k_long - k_short)
+        fn(*args, k_short)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(*args, k_long)
+        t_long = time.perf_counter() - t0
+        diffs.append((t_long - t_short) / (k_long - k_short))
+    return statistics.median(diffs)
 
 
 def main():

@@ -58,7 +58,10 @@ class MixFFN(nn.Module):
 
 
 class SRAttention(nn.Module):
-    """Spatial-reduction attention returning (out, exported attention logits)."""
+    """Spatial-reduction attention returning (out, exported attention logits).
+    `export_attn=False` skips materializing/pooling the (B, nh, N, Nk) logit tensor —
+    a large HBM-traffic saving at high resolution (only the last two stage-4 blocks
+    feed the TSCD affinity head, `TSCD_model.py:73`)."""
 
     dim: int
     num_heads: int
@@ -66,6 +69,8 @@ class SRAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    export_attn: bool = True
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -92,6 +97,15 @@ class SRAttention(nn.Module):
         kv = kv.reshape(B, Nk, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]  # (B, nh, Nk, hd)
 
+        if self.use_flash and not self.export_attn and deterministic:
+            # fused flash kernel: the (N, Nk) score tensor never hits HBM
+            from ..ops.pallas.attention import mha_flash
+
+            out = mha_flash(q, k, v, scale)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            out = nn.Dense(C, kernel_init=trunc_normal_init(), name="proj")(out)
+            return out, None
+
         attn_logits = jnp.einsum(
             "bhnd,bhkd->bhnk", q.astype(self.dtype), k.astype(self.dtype),
             preferred_element_type=jnp.float32,
@@ -106,6 +120,8 @@ class SRAttention(nn.Module):
         out = nn.Dense(C, kernel_init=trunc_normal_init(), name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
+        if not self.export_attn:
+            return out, None
         # exported affinity map: raw q@k^T logits pooled over the query grid so the
         # query length matches the key length (`mix_transformer.py:123-133`)
         a = attn_logits.reshape(B, nh, H, W, Nk)
@@ -127,13 +143,16 @@ class Block(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    export_attn: bool = True
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, H, W, deterministic: bool = True):
         h, attn = SRAttention(
             self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
-            self.attn_drop, self.drop, dtype=self.dtype, name="attn",
+            self.attn_drop, self.drop, export_attn=self.export_attn,
+            use_flash=self.use_flash, dtype=self.dtype, name="attn",
         )(nn.LayerNorm(epsilon=1e-6, name="norm1")(x), H, W, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic)
         h = MixFFN(
@@ -187,12 +206,14 @@ class MixVisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     dtype: Any = jnp.float32
-    collect_attns: bool = True
+    use_flash: bool = False  # pallas fused attention on non-exporting blocks (inference)
+    collect_attns: bool | str = "last2"  # True/"all" | "last2" | False/"none"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True):
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        mode = {True: "all", False: "none"}.get(self.collect_attns, self.collect_attns)
         outs, attns = [], []
         cur = 0
         for s in range(4):
@@ -201,13 +222,17 @@ class MixVisionTransformer(nn.Module):
                 name=f"patch_embed{s + 1}",
             )(x)
             for b in range(self.depths[s]):
+                want = (mode == "all") or (
+                    mode == "last2" and cur + b >= total - 2
+                )
                 x, attn = Block(
                     self.embed_dims[s], self.num_heads[s], self.mlp_ratios[s],
                     self.sr_ratios[s], self.qkv_bias, self.drop_rate,
-                    self.attn_drop_rate, dpr[cur + b], dtype=self.dtype,
+                    self.attn_drop_rate, dpr[cur + b], export_attn=want,
+                    use_flash=self.use_flash, dtype=self.dtype,
                     name=f"block{s + 1}_{b}",
                 )(x, H, W, deterministic)
-                if self.collect_attns:
+                if want:
                     attns.append(attn)
             cur += self.depths[s]
             x = nn.LayerNorm(epsilon=1e-6, name=f"norm{s + 1}")(x)

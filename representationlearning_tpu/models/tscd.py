@@ -30,12 +30,14 @@ class TSCD(nn.Module):
     embedding_dim: int = 256
     strides: tuple = (4, 2, 2, 1)
     pooling: str = "gmp"
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         cfg = dict(MIT_CONFIGS[self.backbone])
         self.encoder = MixVisionTransformer(
-            strides=self.strides, dtype=self.dtype, **cfg, name="encoder"
+            strides=self.strides, dtype=self.dtype, use_flash=self.use_flash,
+            **cfg, name="encoder"
         )
         self.decoder = SegFormerHead(
             num_classes=self.num_classes, embedding_dim=self.embedding_dim,

@@ -1,0 +1,56 @@
+"""Pallas flash-attention kernel: interpret-mode parity vs the XLA composition, and
+end-to-end equivalence inside TSCD."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from representationlearning_tpu.ops.pallas.attention import (
+    _xla_attention, flash_attention, mha_flash,
+)
+
+
+@pytest.mark.parametrize("Nq,Nk,D", [(256, 256, 64), (512, 256, 64), (256, 256, 128)])
+def test_flash_matches_xla(Nq, Nk, D):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((3, Nq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, Nk, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((3, Nk, D)).astype(np.float32))
+    scale = D ** -0.5
+    ref = _xla_attention(q, k, v, scale)
+    out = flash_attention(q, k, v, scale, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_fallback_on_untileable_shapes():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((2, 100, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 100, 32)).astype(np.float32))
+    out = flash_attention(q, k, k, 0.17, block_q=64, block_k=64)
+    ref = _xla_attention(q, k, k, 0.17)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_tscd_flash_matches_reference_path():
+    """TSCD with use_flash must produce the same outputs as the einsum path (eval)."""
+    from representationlearning_tpu.models.tscd import TSCD
+    import functools
+    import representationlearning_tpu.ops.pallas.attention as A
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    base = TSCD(backbone="mit_b0", num_classes=6)
+    v = base.init(jax.random.PRNGKey(0), x)
+    ref = base.apply(v, x)
+
+    # force interpret mode on CPU
+    orig = A.flash_attention
+    A.flash_attention = functools.partial(orig, interpret=True)
+    try:
+        fl = TSCD(backbone="mit_b0", num_classes=6, use_flash=True)
+        out = fl.apply(v, x)
+    finally:
+        A.flash_attention = orig
+
+    for a, b in zip((ref[0], ref[1], ref[3]), (out[0], out[1], out[3])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
