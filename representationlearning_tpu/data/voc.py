@@ -235,3 +235,18 @@ class BatchLoader:
             if not self.loop:
                 return
             epoch += 1
+
+
+def kfold_indices(n: int, k: int = 10, fold: int = -1, seed: int = 2333):
+    """Cross-validation split (RSSFormer `CrossValSamplerGenerator`,
+    `configs/base/loveda.py` CV=dict(k=10, i=-1)): fold i yields (train_idx, val_idx);
+    fold == -1 means no split (all indices train, none val)."""
+    idx = np.arange(n)
+    if fold < 0:
+        return idx, np.empty((0,), np.int64)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(idx)
+    chunks = np.array_split(idx, k)
+    val = chunks[fold % k]
+    train = np.concatenate([c for j, c in enumerate(chunks) if j != fold % k])
+    return train, val

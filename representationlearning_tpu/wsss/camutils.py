@@ -206,3 +206,61 @@ def get_mask_by_radius(h: int, w: int, radius: int = 8) -> np.ndarray:
         np.abs(xs[:, None] - xs[None, :]) <= radius
     )
     return m.astype(np.float32)
+
+
+def propagate_ref_cam(cams: jax.Array, ref: jax.Array, mask: jax.Array | None = None):
+    """Random-walk propagation WITHOUT the background channel
+    (`camutils.py:259-285` `propagte_ref_cam`): ref^2, column-normalized (+1e-4),
+    full-channel matmul. cams (B,h,w,C) at the affinity resolution; ref (B,N,N)."""
+    B, h, w, C = cams.shape
+    N = h * w
+    if mask is not None:
+        ref = jnp.where(mask[None, :, :] == 0, 0.0, ref)
+    ref = ref ** 2
+    ref = ref / (ref.sum(axis=1, keepdims=True) + 1e-4)
+    flat = cams.reshape(B, N, C).transpose(0, 2, 1)
+    rw = jnp.einsum("bcn,bnm->bcm", flat, ref, preferred_element_type=jnp.float32)
+    return rw.transpose(0, 2, 1).reshape(B, h, w, C)
+
+
+def cams_to_label_resized(cam_label: jax.Array, mask: jax.Array | None = None,
+                          ignore_index: int = 255, size=(400, 400)):
+    """`cams_to_label` (`camutils.py:330-351`): nearest-resize the label map to a fixed
+    grid, optionally masking positions to ignore."""
+    lab = resize_nearest(cam_label[..., None].astype(jnp.float32), size)[..., 0]
+    lab = lab.astype(jnp.int32)
+    if mask is not None:
+        lab = jnp.where(mask[None] == 0, ignore_index, lab)
+    return lab
+
+
+def cam_to_fg_bg_label(images_norm, cams, cls_label, bg_thre: float = 0.3,
+                       fg_thre: float = 0.6,
+                       mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375)):
+    """CRF-refined confident fg/bg label (`camutils.py:39-83` `cam_to_fg_bg_label`):
+    per image, pad the valid-class CAMs with low/high background planes, argmax, CRF
+    with label unary, combine: confident-fg map with 1 where high-pass says bg and 0
+    where both passes say bg. Host-side loop (per-image CRF), device-side filters."""
+    import numpy as np
+
+    from ..ops.crf import crf_inference_label
+
+    B, h, w, Cf = cams.shape
+    imgs = np.asarray(images_norm) * np.asarray(std) + np.asarray(mean)
+    cams_np = np.asarray(resize_bilinear(cams, imgs.shape[1:3], align_corners=False))
+    out = np.ones((B,) + imgs.shape[1:3], np.float32)
+    cls_np = np.asarray(cls_label)
+    for i in range(B):
+        keys = np.nonzero(np.concatenate([[1.0], cls_np[i]]))[0]
+        valid = cams_np[i].transpose(2, 0, 1)[keys[1:] - 1]
+        lt = np.concatenate([np.full((1,) + valid.shape[1:], bg_thre), valid], 0)
+        ht = np.concatenate([np.full((1,) + valid.shape[1:], fg_thre), valid], 0)
+        lt_lab = crf_inference_label(imgs[i], np.argmax(lt, 0), n_labels=max(len(keys), 2))
+        ht_lab = crf_inference_label(imgs[i], np.argmax(ht, 0), n_labels=max(len(keys), 2))
+        lt_m = keys[lt_lab]
+        ht_m = keys[ht_lab]
+        o = ht_m.astype(np.float32)
+        o[ht_m == 0] = 1.0
+        o[(ht_m + lt_m) == 0] = 0.0
+        out[i] = o
+    return jnp.asarray(out)

@@ -77,3 +77,23 @@ def cam_dict_to_label(cam_dict: Dict[str, np.ndarray], thres: float) -> np.ndarr
     cams = np.pad(cams, ((1, 0), (0, 0), (0, 0)), mode="constant", constant_values=thres)
     keys = np.pad(cam_dict["keys"] + 1, (1, 0), mode="constant")
     return keys[np.argmax(cams, axis=0)]
+
+
+def evaluate_cam_multi_thres(cam_dicts, gt_masks, num_classes: int,
+                             thresholds=None) -> dict:
+    """Multi-threshold CAM mIoU sweep (WaveCAM
+    `step_coco/train_cam_mde_coco.py:41-80` `evaluate_cam_multi_thres`/`caculate_miou`):
+    returns {threshold: miou} plus the best entry."""
+    from ..metrics.seg import _fast_hist, scores_from_hist
+
+    thresholds = list(thresholds if thresholds is not None
+                      else np.arange(0.1, 0.6, 0.05))
+    results = {}
+    for t in thresholds:
+        hist = np.zeros((num_classes, num_classes))
+        for d, gt in zip(cam_dicts, gt_masks):
+            pred = cam_dict_to_label(d, float(t))
+            hist += _fast_hist(np.asarray(gt).flatten(), pred.flatten(), num_classes)
+        results[round(float(t), 4)] = scores_from_hist(hist)["miou"]
+    best_t = max(results, key=results.get)
+    return {"per_threshold": results, "best_threshold": best_t, "best_miou": results[best_t]}

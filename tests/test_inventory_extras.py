@@ -1,0 +1,69 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from representationlearning_tpu.core.registry import MODELS
+from representationlearning_tpu.data.voc import kfold_indices
+from representationlearning_tpu.models import asff  # noqa: F401 (registers)
+from representationlearning_tpu.wsss import camutils as CU
+from representationlearning_tpu.wsss import msf
+
+
+def test_asff_models_contract():
+    for name in ("rsNetFusion", "HRNetFusion2"):
+        m = MODELS.build(name, hrnet_type="hrnetv2_w18", classes=7, loss_config={"ce": {}})
+        x = jnp.zeros((1, 64, 64, 3))
+        y = jnp.zeros((1, 64, 64), jnp.int32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        probs = m.apply(v, x)
+        assert probs.shape == (1, 64, 64, 7)
+        loss, _ = m.apply(v, x, y, train=True, mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+        assert np.isfinite(float(sum(loss.values())))
+
+
+def test_propagate_ref_cam_no_bkg_mass():
+    rng = np.random.default_rng(0)
+    cams = jnp.asarray(rng.random((1, 4, 4, 3)).astype(np.float32))
+    ref = jnp.asarray(rng.random((1, 16, 16)).astype(np.float32))
+    out = CU.propagate_ref_cam(cams, ref)
+    assert out.shape == cams.shape and bool(jnp.isfinite(out).all())
+
+
+def test_cams_to_label_resized():
+    lab = jnp.asarray(np.arange(16).reshape(1, 4, 4) % 3)
+    out = CU.cams_to_label_resized(lab, size=(8, 8))
+    assert out.shape == (1, 8, 8)
+
+
+def test_cam_to_fg_bg_label_runs():
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.standard_normal((1, 24, 24, 3)).astype(np.float32))
+    cams = jnp.asarray(rng.random((1, 24, 24, 3)).astype(np.float32))
+    cls = jnp.asarray([[1.0, 0.0, 1.0]])
+    out = CU.cam_to_fg_bg_label(imgs, cams, cls, bg_thre=0.3, fg_thre=0.6)
+    vals = set(np.unique(np.asarray(out)))
+    assert vals.issubset({0.0, 1.0, 2.0, 3.0})  # bg/unsure flag + valid class ids
+
+
+def test_multi_thres_cam_eval():
+    rng = np.random.default_rng(2)
+    dicts, gts = [], []
+    for i in range(3):
+        gt = rng.integers(0, 4, (16, 16))
+        keys = np.unique(gt)
+        keys = keys[keys > 0] - 1
+        hi = rng.random((len(keys), 16, 16)).astype(np.float32)
+        dicts.append({"keys": keys, "high_res": hi})
+        gts.append(gt)
+    res = msf.evaluate_cam_multi_thres(dicts, gts, num_classes=4)
+    assert 0.0 <= res["best_miou"] <= 1.0
+    assert len(res["per_threshold"]) == 10
+
+
+def test_kfold_indices():
+    tr, va = kfold_indices(100, k=10, fold=3)
+    assert len(tr) == 90 and len(va) == 10
+    assert set(tr) | set(va) == set(range(100))
+    tr, va = kfold_indices(100, k=10, fold=-1)
+    assert len(tr) == 100 and len(va) == 0

@@ -17,8 +17,13 @@ def test_mit_b0_feature_shapes():
     assert [f.shape for f in feats] == [
         (2, 16, 16, 32), (2, 8, 8, 64), (2, 4, 4, 160), (2, 4, 4, 256),
     ]
-    # stage-4 attention (sr=1): key length = 4*4 = 16
+    # default "last2" collection: exactly the two stage-4 maps (sr=1, key len 16)
+    assert len(attns) == 2
     assert attns[-1].shape == (2, 8, 16, 16)
+
+    m_all = make_mit("mit_b0", drop_path_rate=0.0, collect_attns="all")
+    feats, attns = m_all.apply(params, x)
+    assert len(attns) == 8  # every block
     # stage-1 attention (sr=8): pooled to key length (16/8)^2 = 4
     assert attns[0].shape == (2, 1, 4, 4)
 
