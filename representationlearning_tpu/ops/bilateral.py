@@ -130,11 +130,34 @@ def bilateral_filter_grid(
     return out.reshape(H, W, K)
 
 
+# amplitude of the standard permutohedral lattice (d=5, [1,2,1] blur, alpha) relative
+# to the exact Gaussian transform sum_j exp(-|fi-fj|^2/2) vj — measured stable to <1%
+LATTICE_GAIN_5D = 24.5
+
+
 def bilateral_filter_batch(
     images: jax.Array, inputs: jax.Array, sigma_rgb: float, sigma_xy: float,
     method: str = "grid",
 ) -> jax.Array:
     """Batched (N,H,W,3) x (N,H,W,K) -> (N,H,W,K); replaces `bilateralfilter_batch`
-    (`bilateralfilter.cpp:42-55`) with vmap instead of OpenMP threads."""
+    (`bilateralfilter.cpp:42-55`).
+
+    method="grid": on-device bilateral grid (exact-Gaussian-sum convention).
+    method="brute": exact O(N^2) transform (tests).
+    method="native": the C++/OpenMP permutohedral lattice via host callback — the
+    reference's own amplitude convention (= exact sum x LATTICE_GAIN_5D), for
+    bit-faithful DenseEnergy parity runs."""
+    if method == "native":
+        from ..native import bilateral_filter_batch_native
+
+        def cb(im, x):
+            return bilateral_filter_batch_native(
+                np.asarray(im), np.asarray(x), sigma_rgb, sigma_xy
+            )
+
+        return jax.pure_callback(
+            cb, jax.ShapeDtypeStruct(inputs.shape, jnp.float32), images, inputs,
+            vmap_method="sequential",
+        )
     fn = bilateral_filter_grid if method == "grid" else bilateral_filter_brute
     return jax.vmap(lambda im, x: fn(im, x, sigma_rgb, sigma_xy))(images, inputs)

@@ -75,3 +75,46 @@ def test_get_energy_loss_end_to_end_shapes():
     loss = get_energy_loss(img_norm, logit, label, box, weight=1e-7, sigma_rgb=15.0,
                            sigma_xy=100.0, scale_factor=0.5)
     assert np.isfinite(float(loss))
+
+
+def test_native_permutohedral_matches_exact_convention():
+    """The C++ lattice reproduces the exact Gaussian transform up to the standard
+    lattice gain (stable constant) and matches it closely after homogeneous
+    normalization."""
+    import pytest
+
+    from representationlearning_tpu import native as N
+
+    if not N.available():
+        pytest.skip("no g++ toolchain")
+    rng = np.random.default_rng(0)
+    H = W = 16
+    img = rng.integers(0, 255, (H, W, 3)).astype(np.float32)
+    x = rng.random((H, W, 4)).astype(np.float32)
+    exact = np.asarray(B.bilateral_filter_brute(jnp.asarray(img), jnp.asarray(x), 15.0, 8.0))
+    ones = np.asarray(B.bilateral_filter_brute(jnp.asarray(img), jnp.ones((H, W, 1), np.float32), 15.0, 8.0))
+    nat = N.bilateral_filter_native(img, x, 15.0, 8.0)
+    nat_ones = N.bilateral_filter_native(img, np.ones((H, W, 1), np.float32), 15.0, 8.0)
+
+    ratio = nat.mean() / exact.mean()
+    assert abs(ratio - B.LATTICE_GAIN_5D) / B.LATTICE_GAIN_5D < 0.05
+    avg_err = np.abs(nat / nat_ones - exact / ones).mean() / np.abs(exact / ones).mean()
+    assert avg_err < 0.12
+
+
+def test_energy_loss_native_backend():
+    import pytest
+
+    from representationlearning_tpu import native as N
+
+    if not N.available():
+        pytest.skip("no g++ toolchain")
+    rng = np.random.default_rng(5)
+    Bn, H, W, K = 2, 8, 8, 3
+    img_norm = jnp.asarray(rng.standard_normal((Bn, H, W, 3)).astype(np.float32))
+    logit = jnp.asarray(rng.standard_normal((Bn, H, W, K)).astype(np.float32))
+    label = jnp.zeros((Bn, H, W), jnp.int32)
+    box = jnp.asarray([[0, H, 0, W]] * Bn)
+    loss = get_energy_loss(img_norm, logit, label, box, weight=1.0, sigma_rgb=15.0,
+                           sigma_xy=16.0, scale_factor=1.0, method="native")
+    assert np.isfinite(float(loss)) and float(loss) < 0
