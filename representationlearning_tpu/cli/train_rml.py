@@ -1,0 +1,113 @@
+"""RML trainer CLI — the `RML/scripts/dist_train_voc.py` equivalent (the reference's
+shipped script is unrunnable due to broken imports, SURVEY.md §0; this implements the
+intended behavior: SCD loop + CIML/MFML/APML mutual-learning losses with PAR).
+
+Usage:
+    python -m representationlearning_tpu.cli.train_rml --config configs/rml_voc.yaml \
+        [key.sub=value ...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config, load_yaml
+from ..core.logging import AverageMeter, Timer, setup_logger
+from ..data.voc import BatchLoader, VOC12ClsDataset
+from ..models.rml import RMLModel
+from ..parallel import mesh as M
+from ..train import checkpoints as CK
+from ..train.optim import make_poly_warmup_adamw, tscd_param_labels
+from ..train.rml import RMLConfig, make_rml_train_step
+from ..train.state import TrainState
+
+
+def default_config() -> Config:
+    return Config({
+        "backbone": {"config": "mit_b1", "stride": [4, 2, 2, 1]},
+        "dataset": {"root_dir": None, "name_list_dir": None, "num_classes": 21,
+                     "crop_size": 320, "ignore_index": 255, "synthetic_n": 32},
+        "train": {"samples_per_gpu": 2, "max_iters": 18000, "cam_iters": 2000,
+                   "log_iters": 200, "eval_iters": 2000},
+        "cam": {"bkg_score": 0.45, "high_thre": 0.55, "low_thre": 0.35,
+                 "scales": [0.5, 1.0, 1.5]},
+        "optimizer": {"learning_rate": 6e-5, "weight_decay": 0.01},
+        "scheduler": {"warmup_iter": 1500, "warmup_ratio": 1e-6, "power": 1.0},
+        "work_dir": "work_rml",
+        "seed": 1,
+    })
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+    cfg = default_config()
+    if args.config:
+        cfg.merge(load_yaml(args.config))
+    cfg.apply_overrides(args.overrides)
+
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    log = setup_logger("rml", os.path.join(cfg.work_dir, "train.log"))
+
+    rml_cfg = RMLConfig(
+        num_classes=cfg.dataset.num_classes, crop_size=cfg.dataset.crop_size,
+        cam_scales=tuple(cfg.cam.scales), bkg_score=cfg.cam.bkg_score,
+        high_thre=cfg.cam.high_thre, low_thre=cfg.cam.low_thre,
+        ignore_index=cfg.dataset.ignore_index, cam_iters=cfg.train.cam_iters,
+    )
+    model = RMLModel(backbone=cfg.backbone.config,
+                     num_classes=cfg.dataset.num_classes,
+                     strides=tuple(cfg.backbone.stride))
+
+    mesh = M.make_mesh()
+    global_batch = cfg.train.samples_per_gpu * mesh.shape[M.DATA_AXIS]
+    ds = VOC12ClsDataset(
+        root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
+        crop_size=cfg.dataset.crop_size, num_classes=cfg.dataset.num_classes,
+        ignore_index=cfg.dataset.ignore_index, seed=cfg.seed,
+        synthetic_n=cfg.dataset.get("synthetic_n", 32),
+    )
+
+    variables = model.init(jax.random.PRNGKey(cfg.seed),
+                           jnp.zeros((1, cfg.dataset.crop_size, cfg.dataset.crop_size, 3)))
+    tx = make_poly_warmup_adamw(
+        cfg.optimizer.learning_rate, cfg.optimizer.weight_decay,
+        cfg.scheduler.warmup_iter, cfg.train.max_iters,
+        cfg.scheduler.warmup_ratio, cfg.scheduler.power,
+        param_labels=tscd_param_labels(variables["params"]),
+    )
+    state = TrainState.create(model.apply, variables, tx)
+    ckpt_dir = os.path.join(cfg.work_dir, "checkpoints")
+    if CK.latest_step(ckpt_dir) is not None:
+        state = CK.restore(ckpt_dir, state)
+        log.info("resumed from step %d", int(state.step))
+    state = M.replicate(mesh, state)
+
+    step_fn = make_rml_train_step(model.apply, rml_cfg)
+    loader = iter(BatchLoader(ds, global_batch, seed=cfg.seed))
+    meter = AverageMeter()
+    timer = Timer(cfg.train.max_iters)
+    start = int(state.step)
+    for n_iter in range(start, cfg.train.max_iters):
+        _, img, cls_label, box = next(loader)
+        batch = M.shard_batch(mesh, {"image": img, "cls_label": cls_label,
+                                     "img_box": box.astype(np.int32)})
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(cfg.seed * 977 + n_iter))
+        meter.add(**{k: float(v) for k, v in metrics.items()})
+        if (n_iter + 1) % cfg.train.log_iters == 0:
+            log.info("iter %d/%d %s eta %.0fs", n_iter + 1, cfg.train.max_iters,
+                     " ".join(f"{k}={v:.4f}" for k, v in meter.pop().items()),
+                     timer.eta(n_iter + 1 - start))
+        if (n_iter + 1) % cfg.train.eval_iters == 0 or n_iter + 1 == cfg.train.max_iters:
+            CK.save(ckpt_dir, n_iter + 1, state)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -207,6 +207,9 @@ class MixVisionTransformer(nn.Module):
     drop_path_rate: float = 0.1
     dtype: Any = jnp.float32
     use_flash: bool = False  # pallas fused attention on non-exporting blocks (inference)
+    remat: bool = False  # gradient checkpointing per block (the reference's unused
+    # with_cp hook, `base_hrnet/hrnet_encoder.py:39-40`, made real: trades recompute
+    # for activation memory so bigger crops/batches fit HBM)
     collect_attns: bool | str = "last2"  # True/"all" | "last2" | False/"none"
 
     @nn.compact
@@ -225,7 +228,8 @@ class MixVisionTransformer(nn.Module):
                 want = (mode == "all") or (
                     mode == "last2" and cur + b >= total - 2
                 )
-                x, attn = Block(
+                block_cls = nn.remat(Block, static_argnums=(2, 3, 4)) if self.remat else Block
+                x, attn = block_cls(
                     self.embed_dims[s], self.num_heads[s], self.mlp_ratios[s],
                     self.sr_ratios[s], self.qkv_bias, self.drop_rate,
                     self.attn_drop_rate, dpr[cur + b], export_attn=want,
