@@ -67,3 +67,21 @@ def test_kfold_indices():
     assert set(tr) | set(va) == set(range(100))
     tr, va = kfold_indices(100, k=10, fold=-1)
     assert len(tr) == 100 and len(va) == 0
+
+
+def test_discriminative_loss_pull_push():
+    from representationlearning_tpu.losses.discriminative import discriminative_loss
+
+    rng = np.random.default_rng(7)
+    B, H, W, F = 2, 8, 8, 4
+    labels = rng.integers(0, 3, (B, H, W))
+    # well-separated embeddings per instance -> tiny pull, tiny push
+    centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]], np.float32)
+    pred = centers[labels] + rng.standard_normal((B, H, W, F)).astype(np.float32) * 0.01
+    total, parts = discriminative_loss(jnp.asarray(pred), jnp.asarray(labels), 3)
+    assert float(parts["var"]) < 0.01
+    assert float(parts["dist"]) < 1e-6
+    # collapsed embeddings -> large push
+    pred2 = np.zeros_like(pred)
+    total2, parts2 = discriminative_loss(jnp.asarray(pred2), jnp.asarray(labels), 3)
+    assert float(parts2["dist"]) > 1.0
