@@ -54,9 +54,22 @@ def _unbiased_std(x, axis, keepdims=True):
 
 
 def _propagate(masks, ref, dilations, num_iter):
+    """Mask propagation without materializing the (B,H,W,K,C) neighbor tensor per
+    iteration: stream the K=8*len(dilations) shifted multiplies as a running sum
+    (~50x less intermediate HBM traffic at SCD's 160^2x21 geometry)."""
+
     def body(m, _):
-        nb = dilated_neighbors(m, dilations)
-        return (nb * ref).sum(axis=3), None
+        acc = None
+        k = 0
+        for d in dilations:
+            mp = jnp.pad(m, ((0, 0), (d, d), (d, d), (0, 0)), mode="edge")
+            B, H, W, C = m.shape
+            for (dy, dx) in _OFFSETS:
+                nb = jax.lax.dynamic_slice(mp, (0, d + dy * d, d + dx * d, 0), (B, H, W, C))
+                term = nb * ref[:, :, :, k]
+                acc = term if acc is None else acc + term
+                k += 1
+        return acc, None
 
     masks, _ = jax.lax.scan(body, masks, None, length=num_iter)
     return masks
