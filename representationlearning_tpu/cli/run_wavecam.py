@@ -21,7 +21,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--work_dir", default="work_wavecam")
     ap.add_argument("--voc12_root", default=None)
+    ap.add_argument("--coco_root", default=None)  # run_wavecam_coco equivalent
     ap.add_argument("--name_list_dir", default=None)
+    ap.add_argument("--n_classes", type=int, default=20)
     ap.add_argument("--crop_size", type=int, default=512)
     ap.add_argument("--cam_batch_size", type=int, default=16)
     ap.add_argument("--cam_epochs", type=int, default=5)
@@ -42,7 +44,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     cfg = WaveCAMConfig(
-        work_dir=args.work_dir, voc12_root=args.voc12_root,
+        work_dir=args.work_dir, voc12_root=args.voc12_root, coco_root=args.coco_root,
+        n_classes=args.n_classes,
         name_list_dir=args.name_list_dir, crop_size=args.crop_size,
         cam_scales=tuple(args.cam_scales), cam_batch_size=args.cam_batch_size,
         cam_epochs=args.cam_epochs, cam_lr=args.cam_learning_rate,

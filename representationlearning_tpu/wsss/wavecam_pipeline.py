@@ -68,7 +68,9 @@ class WaveCAMConfig:
     synthetic_n: int = 16
     synthetic_size: tuple = (64, 64)
     voc12_root: str | None = None
+    coco_root: str | None = None  # run_wavecam_coco.py equivalent: COCO-14 source
     name_list_dir: str | None = None
+    split: str = "train_aug"
 
     def dir(self, sub):
         p = os.path.join(self.work_dir, sub)
@@ -80,8 +82,13 @@ class WaveCAMPipeline:
     def __init__(self, cfg: WaveCAMConfig):
         self.cfg = cfg
         self.log = setup_logger("wavecam")
-        if cfg.voc12_root and os.path.isdir(os.path.join(cfg.voc12_root, "JPEGImages")):
-            self.source = VOC12Source(cfg.voc12_root, cfg.name_list_dir, "train_aug")
+        if cfg.coco_root and os.path.isdir(os.path.join(cfg.coco_root, "JPEGImages")):
+            from ..data.coco import CocoSource
+
+            self.source = CocoSource(cfg.coco_root, cfg.name_list_dir,
+                                     cfg.split.replace("_aug", ""))
+        elif cfg.voc12_root and os.path.isdir(os.path.join(cfg.voc12_root, "JPEGImages")):
+            self.source = VOC12Source(cfg.voc12_root, cfg.name_list_dir, cfg.split)
         else:
             self.source = SyntheticSegSource(
                 n=cfg.synthetic_n, size=cfg.synthetic_size, num_classes=cfg.n_classes + 1
