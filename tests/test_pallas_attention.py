@@ -54,3 +54,19 @@ def test_tscd_flash_matches_reference_path():
 
     for a, b in zip((ref[0], ref[1], ref[3]), (out[0], out[1], out[3])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_varm_propagation_matches_xla():
+    """Interpret-mode bit-parity of the experimental VARM propagation kernel."""
+    from representationlearning_tpu.models.refine import _propagate
+    from representationlearning_tpu.ops.pallas.varm import varm_propagate_pallas
+
+    rng = np.random.default_rng(0)
+    B, H, W, C, dil = 2, 16, 16, 5, (1, 2, 4)
+    K = 8 * len(dil)
+    masks = jnp.asarray(rng.random((B, H, W, C)).astype(np.float32))
+    ref = jnp.asarray(rng.random((B, H, W, K, 1)).astype(np.float32))
+    ref = ref / ref.sum(3, keepdims=True)
+    a = _propagate(masks, ref, dil, 3)
+    b = varm_propagate_pallas(masks, ref, dil, 3, channel_block=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
