@@ -78,3 +78,28 @@ def test_train_rml_cli(tmp_path):
         "cam.scales=[1.0,0.5]", f"work_dir={tmp_path}",
     ])
     assert int(state.step) == 1
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_convert import _flatten, _mit_torch_names
+
+    from representationlearning_tpu.cli.convert_checkpoint import main
+    from representationlearning_tpu.models.mit import make_mit
+
+    m = make_mit("mit_b0")
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(w))
+          for k, w in _mit_torch_names(_flatten(v["params"])).items()}
+    src = tmp_path / "mit.pth"
+    torch.save(sd, src)
+    dst = tmp_path / "mit.npy"
+    out = main(["--family", "mit", "--src", str(src), "--dst", str(dst)])
+    restored = np.load(dst, allow_pickle=True).item()
+    feats, _ = m.apply({"params": restored["params"]}, jnp.zeros((1, 32, 32, 3)))
+    assert feats[-1].shape == (1, 2, 2, 256)
