@@ -84,9 +84,10 @@ def test_convert_checkpoint_cli(tmp_path):
     import torch
     import jax
     import jax.numpy as jnp
+    import os
     import sys
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.dirname(__file__))
     from test_convert import _flatten, _mit_torch_names
 
     from representationlearning_tpu.cli.convert_checkpoint import main
