@@ -312,3 +312,54 @@ class FactSeg(nn.Module):
             )
             return {"cls_loss": cls_loss, "bi_loss": bi_loss}
         return jax.nn.softmax(fg_pred, axis=-1)
+
+
+def multi_binary_loss(pred, y_true, num_fg: int, bce_scaler: float = 1.0,
+                      dice_scaler: float = 1.0, label_smooth: float = 0.0,
+                      ignore_index: int = -1):
+    """Per-class binary decoupled loss (`CGFL.py:435+` multi_binary_loss used by
+    SemanticFPNDecouple): BCE-with-logits + soft dice per foreground class against
+    the class-k indicator, averaged over classes."""
+    from ..losses.cgfl import binary_cross_entropy_with_logits_ignore
+
+    losses = []
+    for k in range(num_fg):
+        tgt = jnp.where(y_true == k + 1, 1.0, 0.0)
+        tgt = jnp.where(y_true == ignore_index, float(ignore_index), tgt)
+        if label_smooth:
+            tgt = jnp.where(tgt == 1.0, 1.0 - label_smooth, tgt)
+        bce = binary_cross_entropy_with_logits_ignore(pred[..., k], tgt, ignore_index)
+        valid = tgt != ignore_index
+        p = jax.nn.sigmoid(pred[..., k]) * valid
+        t = tgt * valid
+        dice = 1.0 - (2 * (p * t).sum() + 1.0) / (p.sum() + t.sum() + 1.0)
+        losses.append(bce_scaler * bce + dice_scaler * dice)
+    return sum(losses) / max(num_fg, 1)
+
+
+@MODELS.register("SemanticFPNDecouple")
+class SemanticFPNDecouple(nn.Module):
+    """Decoupled per-class binary SemanticFPN (`semantic_fpn.py:84-146`): FPN +
+    AsymmetricDecoder + (classes-1)-channel binary head; training uses the per-class
+    BCE+dice multi_binary_loss, eval returns per-class sigmoids."""
+
+    classes: int = 7
+    fpn_channels: int = 256
+    decoder_channels: int = 128
+    bce_scaler: float = 1.0
+    dice_scaler: float = 1.0
+    label_smooth: float = 0.0
+    ignore_index: int = -1
+
+    @nn.compact
+    def __call__(self, x, y=None, train: bool = False):
+        feats = ResNet50Backbone(strides=(2, 2, 2, 2), name="resnet")(x)
+        fpn_feats = FPN(self.fpn_channels, name="fpn")(feats, train)
+        dec = AsymmetricDecoder(self.decoder_channels, name="decoder")(fpn_feats, train)
+        pred = nn.Conv(self.classes - 1, (1, 1), name="cls_pred")(dec)
+        pred = resize_bilinear(pred, x.shape[1:3], align_corners=True)
+        if train:
+            return {"multi_binary": multi_binary_loss(
+                pred, y, self.classes - 1, self.bce_scaler, self.dice_scaler,
+                self.label_smooth, self.ignore_index)}
+        return jax.nn.sigmoid(pred)

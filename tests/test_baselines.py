@@ -26,3 +26,15 @@ def test_baseline_train_eval_contract(name, kwargs):
     loss_dict, _ = model.apply(v, x, y, train=True, mutable=["batch_stats"],
                                rngs={"dropout": jax.random.PRNGKey(1)})
     assert any(np.isfinite(float(val)) for val in loss_dict.values())
+
+
+def test_semantic_fpn_decouple():
+    m = MODELS.build("SemanticFPNDecouple", classes=7)
+    x = jnp.zeros((1, 64, 64, 3))
+    y = jnp.asarray(np.random.default_rng(0).integers(-1, 7, (1, 64, 64)))
+    v = m.init(jax.random.PRNGKey(0), x)
+    sig = m.apply(v, x)
+    assert sig.shape == (1, 64, 64, 6)
+    assert 0.0 <= float(sig.min()) and float(sig.max()) <= 1.0
+    losses, _ = m.apply(v, x, y, train=True, mutable=["batch_stats"])
+    assert np.isfinite(float(losses["multi_binary"]))
