@@ -32,7 +32,7 @@ def _energy_fwd_core(images, segs_and_masks, sigma_rgb, sigma_xy, method):
     AS = bilateral_filter_batch(images, S, sigma_rgb, sigma_xy, method=method)
     AS = AS * gate
     loss = -jnp.vdot(S, AS) / N
-    return loss, (AS, rois, N)
+    return loss, (AS, rois, gate, N)
 
 
 def _energy_fwd(images, segs_and_masks, sigma_rgb, sigma_xy, method):
@@ -41,10 +41,14 @@ def _energy_fwd(images, segs_and_masks, sigma_rgb, sigma_xy, method):
 
 
 def _energy_bwd(sigma_rgb, sigma_xy, method, res, g):
-    AS, rois, N = res
+    AS, rois, gate, N = res
     grad_seg = -2.0 * g * AS / N * rois[..., None]
-    # images get no gradient (`losses.py:90` returns None)
-    return (jnp.zeros(AS.shape[:3] + (3,), AS.dtype), (grad_seg, jnp.zeros_like(rois), jnp.zeros_like(AS)))
+    # images/rois/gate get no gradient (`losses.py:90` returns None); the gate
+    # cotangent must match gate's (B,h,w,1) shape, not AS's (B,h,w,C).
+    return (
+        jnp.zeros(AS.shape[:3] + (3,), AS.dtype),
+        (grad_seg, jnp.zeros_like(rois), jnp.zeros_like(gate)),
+    )
 
 
 _dense_energy.defvjp(_energy_fwd, _energy_bwd)
