@@ -496,6 +496,10 @@ def convert_rssformer(sd: Mapping[str, np.ndarray], strict: bool = True) -> dict
         w = t_linear(w) if m.group(1) == "weight" else w
         return "params", ("headaux", leaf), w
 
+    @M.rule(r".*num_batches_tracked")
+    def _drop_nbt(m, w):
+        return None
+
     top = {k: v for k, v in sd.items()
            if k.startswith(("neck.", "head.", "headaux."))}
     out = M.convert(top, strict=strict)
@@ -520,3 +524,124 @@ def convert_rssformer(sd: Mapping[str, np.ndarray], strict: bool = True) -> dict
     if bs:
         res["batch_stats"] = bs
     return res
+
+
+# ------------------------------------------------------------ HRFormer (HRT) backbone
+def convert_hrt(sd: Mapping[str, np.ndarray], strict: bool = True,
+                prefix: str = "") -> dict:
+    """HRFormer checkpoints (`hrt_backbone.py:370-696`) -> HighResolutionTransformerNet
+    variables (under `backbone/` like convert_hrnet, so it plugs into HRNetFusion).
+
+    Branch blocks map `branches.{b}.{k}.{norm1, attn.attn.*_proj}`; the reference's
+    `norm2` is dead (its FFN is commented out, `transformer_block.py:104`) and dropped.
+    Fuse j<i chains are depthwise-separable: `.{k}.{0 dw,1 bn,2 pw,3 bn}`.
+    """
+    M = NameMapper()
+    P = re.escape(prefix)
+    BN = r"(weight|bias|running_mean|running_var)"
+
+    def bn_emit(base_path, which, w):
+        if which in ("weight", "bias"):
+            return "params", base_path + ("scale" if which == "weight" else "bias",), w
+        return "batch_stats", base_path + ("mean" if which == "running_mean" else "var",), w
+
+    @M.rule(P + r"conv([12])\.weight")
+    def _stem_conv(m, w):
+        return "params", ("backbone", f"conv{m.group(1)}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"bn([12])\." + BN)
+    def _stem_bn(m, w):
+        return bn_emit(("backbone", f"bn{m.group(1)}"), m.group(2), w)
+
+    @M.rule(P + r"layer1\.(\d)\.conv([123])\.weight")
+    def _l1_conv(m, w):
+        return "params", ("backbone", f"layer1_{m.group(1)}", f"conv{m.group(2)}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"layer1\.(\d)\.bn([123])\." + BN)
+    def _l1_bn(m, w):
+        return bn_emit(("backbone", f"layer1_{m.group(1)}", f"bn{m.group(2)}"), m.group(3), w)
+
+    @M.rule(P + r"layer1\.(\d)\.downsample\.0\.weight")
+    def _l1_ds_conv(m, w):
+        return "params", ("backbone", f"layer1_{m.group(1)}", "downsample_conv", "kernel"), t_conv(w)
+
+    @M.rule(P + r"layer1\.(\d)\.downsample\.1\." + BN)
+    def _l1_ds_bn(m, w):
+        return bn_emit(("backbone", f"layer1_{m.group(1)}", "downsample_bn"), m.group(2), w)
+
+    @M.rule(P + r"transition(\d)\.(\d)\.0\.weight")
+    def _tr_conv(m, w):
+        return "params", ("backbone", f"transition{m.group(1)}", f"t{m.group(2)}_conv", "kernel"), t_conv(w)
+
+    @M.rule(P + r"transition(\d)\.(\d)\.1\." + BN)
+    def _tr_bn(m, w):
+        return bn_emit(("backbone", f"transition{m.group(1)}", f"t{m.group(2)}_bn"), m.group(3), w)
+
+    @M.rule(P + r"transition(\d)\.(\d)\.(\d)\.0\.weight")
+    def _tr_new_conv(m, w):
+        return "params", ("backbone", f"transition{m.group(1)}", f"t{m.group(2)}_conv{m.group(3)}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"transition(\d)\.(\d)\.(\d)\.1\." + BN)
+    def _tr_new_bn(m, w):
+        return bn_emit(("backbone", f"transition{m.group(1)}", f"t{m.group(2)}_bn{m.group(3)}"), m.group(4), w)
+
+    # transformer branch blocks
+    @M.rule(P + r"stage(\d)\.(\d)\.branches\.(\d)\.(\d)\.norm1\.(weight|bias)")
+    def _blk_norm1(m, w):
+        s, mm, b, k, which = m.groups()
+        leaf = "scale" if which == "weight" else "bias"
+        return "params", ("backbone", f"stage{s}_m{mm}", f"branch{b}_block{k}", "norm1", leaf), w
+
+    @M.rule(P + r"stage(\d)\.(\d)\.branches\.(\d)\.(\d)\.norm2\.(weight|bias)")
+    def _blk_norm2(m, w):
+        return None  # dead parameters: the reference FFN is commented out
+
+    @M.rule(P + r"stage(\d)\.(\d)\.branches\.(\d)\.(\d)\.attn\.attn\.(q_proj|k_proj|v_proj|out_proj)\.(weight|bias)")
+    def _blk_attn(m, w):
+        s, mm, b, k, proj, which = m.groups()
+        leaf = "kernel" if which == "weight" else "bias"
+        w = t_linear(w) if which == "weight" else w
+        return "params", ("backbone", f"stage{s}_m{mm}", f"branch{b}_block{k}", "attn",
+                          "attn", proj, leaf), w
+
+    # fuse j > i: Sequential(1x1 conv, BN, Upsample)
+    @M.rule(P + r"stage(\d)\.(\d)\.fuse_layers\.(\d)\.(\d)\.0\.weight")
+    def _fuse_up_conv(m, w):
+        s, mm, i, j = m.groups()
+        return "params", ("backbone", f"stage{s}_m{mm}", f"fuse{i}_{j}", "conv", "kernel"), t_conv(w)
+
+    @M.rule(P + r"stage(\d)\.(\d)\.fuse_layers\.(\d)\.(\d)\.1\." + BN)
+    def _fuse_up_bn(m, w):
+        s, mm, i, j, which = m.groups()
+        return bn_emit(("backbone", f"stage{s}_m{mm}", f"fuse{i}_{j}", "bn"), which, w)
+
+    # fuse j < i: nested Sequential(.{k}.{0 dw,1 bn,2 pw,3 bn})
+    @M.rule(P + r"stage(\d)\.(\d)\.fuse_layers\.(\d)\.(\d)\.(\d)\.0\.weight")
+    def _fuse_dw(m, w):
+        s, mm, i, j, k = m.groups()
+        return "params", ("backbone", f"stage{s}_m{mm}", f"fuse{i}_{j}", f"dw{k}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"stage(\d)\.(\d)\.fuse_layers\.(\d)\.(\d)\.(\d)\.1\." + BN)
+    def _fuse_dwbn(m, w):
+        s, mm, i, j, k, which = m.groups()
+        return bn_emit(("backbone", f"stage{s}_m{mm}", f"fuse{i}_{j}", f"dwbn{k}"), which, w)
+
+    @M.rule(P + r"stage(\d)\.(\d)\.fuse_layers\.(\d)\.(\d)\.(\d)\.2\.weight")
+    def _fuse_pw(m, w):
+        s, mm, i, j, k = m.groups()
+        return "params", ("backbone", f"stage{s}_m{mm}", f"fuse{i}_{j}", f"pw{k}", "kernel"), t_conv(w)
+
+    @M.rule(P + r"stage(\d)\.(\d)\.fuse_layers\.(\d)\.(\d)\.(\d)\.3\." + BN)
+    def _fuse_pwbn(m, w):
+        s, mm, i, j, k, which = m.groups()
+        return bn_emit(("backbone", f"stage{s}_m{mm}", f"fuse{i}_{j}", f"pwbn{k}"), which, w)
+
+    @M.rule(r".*num_batches_tracked")
+    def _drop_nbt(m, w):
+        return None
+
+    @M.rule(r"(incre_modules|downsamp_modules|final_layer|classifier)\..*")
+    def _drop_head(m, w):
+        return None  # env-gated imagenet head
+
+    return M.convert(sd, strict=strict)

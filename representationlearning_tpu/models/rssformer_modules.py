@@ -78,7 +78,10 @@ def window_reverse(x: jax.Array, ws: int, B: int, H: int, W: int):
 
 class Mhca(nn.Module):
     """Cross multi-head attention with separate q/k/v projections
-    (`DAL.py:676-900`): q scaled by head_dim^-0.5 before the product."""
+    (`DAL.py:676-1030`): q scaled by head_dim^-0.5 before the product, plus the DAL
+    channel gate (`DAL.py:1005-1016`): the attention output is multiplied by a
+    per-(batch, head) scalar sigmoid(mean(q^T k) + max(q^T k)) computed from the
+    token-summed head_dim x head_dim correlation of the (scaled) q and k."""
 
     embed_dim: int
     num_heads: int
@@ -104,6 +107,12 @@ class Mhca(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhst,bhtd->bhsd", attn.astype(self.dtype), v.astype(self.dtype),
                          preferred_element_type=jnp.float32)
+        # DAL channel gate (`DAL.py:1005-1016`), requires S == T (self/window attn)
+        m = jnp.einsum("bhsd,bhse->bhde", q.astype(self.dtype), k.astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        alpha = jax.nn.sigmoid(m.mean(axis=(2, 3), keepdims=True)
+                               + m.max(axis=(2, 3), keepdims=True))
+        out = out * alpha
         out = out.transpose(0, 2, 1, 3).reshape(B, S, C)
         return nn.Dense(C, name="out_proj")(out)
 
@@ -117,18 +126,30 @@ class InterlacedPoolAttention2(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, H: int, W: int, deterministic: bool = True):
-        """x, y: (B, N, C) token streams. Returns (B, N, C)."""
-        B, N, C = x.shape
-        xm = x.reshape(B, H, W, C)
-        ym = y.reshape(B, H, W, C)
+        """x, y: (B, N, C) token streams. Returns (B, N, C).
 
-        w0 = SpatialAttention(name="atrous_block1")(xm)
-        w1 = SpatialAttention(name="atrous_block2")(ym)
+        Layout caveat baked into the reference checkpoints: the reference calls
+        `.view(B, C, H, W)` on the CONTIGUOUS (B, N, C) token tensor
+        (`multihead_isa_pool_attention.py:150-151`) — a raw row-major reinterpretation,
+        NOT a permute — then gates, and `.view(B, H, W, C)`s the product (again raw)
+        before windowing. Trained weights encode this scramble, so parity requires
+        reproducing it with jnp.reshape (row-major, same semantics as torch .view)."""
+        B, N, C = x.shape
+        xv = x.reshape(B, C, H, W)  # raw reinterpret, matches reference .view
+        yv = y.reshape(B, C, H, W)
+
+        # SpatialAttention runs on the reinterpreted NCHW view; our NHWC module gets
+        # a true transpose of it (equivalent computation)
+        w0 = SpatialAttention(name="atrous_block1")(xv.transpose(0, 2, 3, 1))
+        w1 = SpatialAttention(name="atrous_block2")(yv.transpose(0, 2, 3, 1))
         lv = jnp.concatenate([w0, w1], axis=-1)
         lv = TorchConv(2, (1, 1), name="weight_levels")(lv)
-        lv = jax.nn.softmax(lv, axis=-1)
-        xm = xm * lv[..., 0:1]
-        ym = ym * lv[..., 1:2]
+        lv = jax.nn.softmax(lv, axis=-1)  # (B, H, W, 2)
+        xv = xv * lv[..., 0][:, None, :, :]
+        yv = yv * lv[..., 1][:, None, :, :]
+        # second raw reinterpret (B,C,H,W) -> (B,H,W,C), `:166-167`
+        xm = xv.reshape(B, H, W, C)
+        ym = yv.reshape(B, H, W, C)
 
         ws = self.window_size
         xp, orig = window_pad(xm, ws)
@@ -277,3 +298,75 @@ class MlpDW(nn.Module):
         h = nn.gelu(h, approximate=False)
         h = TorchConv(self.out, (1, 1), name="fc2")(h)
         return h.reshape(B, N, self.out)
+
+
+class MultiheadAttention2(nn.Module):
+    """`DAL.py:344-675`: separate-projection MHA with optional pre-softmax
+    `residual_attn` logits — Mhca's plain sibling WITHOUT the channel gate.
+    query/key/value: (B, S, C); residual_attn broadcastable to (B, nh, S, T)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, residual_attn=None,
+                 deterministic: bool = True):
+        B, S, C = query.shape
+        nh, hd = self.num_heads, C // self.num_heads
+        q = nn.Dense(C, use_bias=self.use_bias, name="q_proj")(query) * (hd ** -0.5)
+        k = nn.Dense(C, use_bias=self.use_bias, name="k_proj")(key)
+        v = nn.Dense(C, use_bias=self.use_bias, name="v_proj")(value)
+        q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, -1, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, -1, nh, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhsd,bhtd->bhst", q.astype(self.dtype), k.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+        if residual_attn is not None:
+            logits = logits + residual_attn
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhst,bhtd->bhsd", attn.astype(self.dtype), v.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, C)
+        return nn.Dense(C, name="out_proj")(out)
+
+
+class MlpLight(nn.Module):
+    """`ffn_block.py:32-50`: single Linear + act (+dropout) on tokens."""
+
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(x.shape[-1], name="fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class MlpConvBN(nn.Module):
+    """`ffn_block.py:295-338`: two 1x1 Conv1d+BatchNorm1d blocks over the channel
+    axis of (B, N, C) tokens (Conv1d k=1 == Dense; BatchNorm1d over (B, N))."""
+
+    hidden_features: int
+    out_features: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Dense(self.hidden_features, name="fc1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        h = nn.Dense(self.out_features, name="fc2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(h)
+        return nn.Dropout(self.dropout)(h, deterministic=not train)
+
+
+def dilated_conv(ch_out: int, k: int, d: int = 1, stride: int = 1, name=None):
+    """`ffn_block.py:105-128` DilatedConv: bias-free dilated conv, SAME-ish pad."""
+    p = ((k - 1) // 2) * d
+    return TorchConv(ch_out, (k, k), stride=(stride, stride), padding=(p, p),
+                     dilation=(d, d), use_bias=False, name=name)

@@ -1,0 +1,262 @@
+"""Import the UNTRUSTED reference PyTorch code (/root/reference) for end-to-end
+numeric parity testing (VERDICT round-1 item 3): instantiate reference modules with
+seeded random weights, run their forward in torch, convert the state dict with
+`representationlearning_tpu.convert.torch2jax`, and compare against our flax forward.
+
+The reference depends on pip packages absent from this image (timm, mmcv, ever);
+`install_torch_stubs()` registers minimal functional equivalents in sys.modules so the
+reference modules import and execute. Only the code paths the parity tests drive are
+stubbed (eval-mode forward: DropPath=identity, ConvModule=conv+BN+ReLU).
+"""
+from __future__ import annotations
+
+import sys
+import types
+
+REF = "/root/reference"
+SCD_ROOT = f"{REF}/SCD-AAAI2023"
+WAVECAM_ROOT = f"{REF}/WaveCAM-TMM2023"
+RSSFORMER_ROOT = f"{REF}/RSSFormer-TIP2023"
+DRFL_ROOT = f"{REF}/DRFL-EAAI2023"
+RML_ROOT = f"{REF}/RML"
+
+
+def install_torch_stubs() -> None:
+    """Register timm / mmcv / ever stand-ins sufficient for eval-mode forwards."""
+    import torch
+    import torch.nn as nn
+
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_layers = types.ModuleType("timm.models.layers")
+
+        class DropPath(nn.Module):
+            # Stochastic depth; identity in eval mode, which is all parity needs.
+            def __init__(self, drop_prob=None):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                if not self.training or not self.drop_prob:
+                    return x
+                keep = 1.0 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+                return x / keep * mask.floor_()
+
+        def to_2tuple(v):
+            return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+        timm_layers.DropPath = DropPath
+        timm_layers.to_2tuple = to_2tuple
+        timm_layers.trunc_normal_ = nn.init.trunc_normal_
+        timm.models = timm_models
+        timm_models.layers = timm_layers
+        timm_data = types.ModuleType("timm.data")
+        timm_data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+        timm_data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+        timm.data = timm_data
+        timm_registry = types.ModuleType("timm.models.registry")
+        timm_registry.register_model = lambda fn: fn
+        timm_models.registry = timm_registry
+        timm_helpers = types.ModuleType("timm.models.layers.helpers")
+        timm_helpers.to_2tuple = to_2tuple
+        timm_layers.helpers = timm_helpers
+        for name, mod in (
+            ("timm", timm),
+            ("timm.models", timm_models),
+            ("timm.models.layers", timm_layers),
+            ("timm.models.layers.helpers", timm_helpers),
+            ("timm.models.registry", timm_registry),
+            ("timm.data", timm_data),
+        ):
+            sys.modules[name] = mod
+
+    if "mmcv" not in sys.modules:
+        mmcv = types.ModuleType("mmcv")
+        mmcv_cnn = types.ModuleType("mmcv.cnn")
+
+        class ConvModule(nn.Module):
+            # mmcv conv+norm+act block as used by SegFormerHead (1x1, SyncBN, ReLU).
+            def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                         padding=0, dilation=1, groups=1, norm_cfg=None, act_cfg="relu",
+                         bias="auto", **_):
+                super().__init__()
+                use_bias = bias if isinstance(bias, bool) else norm_cfg is None
+                self.conv = nn.Conv2d(in_channels, out_channels, kernel_size, stride,
+                                      padding, dilation, groups, bias=use_bias)
+                self.bn = nn.BatchNorm2d(out_channels) if norm_cfg is not None else None
+                self.activate = nn.ReLU(inplace=True) if act_cfg is not None else None
+
+            def forward(self, x):
+                x = self.conv(x)
+                if self.bn is not None:
+                    x = self.bn(x)
+                if self.activate is not None:
+                    x = self.activate(x)
+                return x
+
+        mmcv_cnn.ConvModule = ConvModule
+        mmcv.cnn = mmcv_cnn
+        sys.modules["mmcv"] = mmcv
+        sys.modules["mmcv.cnn"] = mmcv_cnn
+
+    if "ever" not in sys.modules:
+        import logging
+
+        class AttrDict(dict):
+            """ever-style config: attribute access + recursive update."""
+
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            __setattr__ = dict.__setitem__
+
+            @staticmethod
+            def wrap(v):
+                if isinstance(v, dict) and not isinstance(v, AttrDict):
+                    return AttrDict({k: AttrDict.wrap(x) for k, x in v.items()})
+                return v
+
+            def update(self, other):  # type: ignore[override]
+                for k, v in dict(other).items():
+                    if isinstance(v, dict) and isinstance(self.get(k), dict):
+                        self[k].update(v)
+                    else:
+                        self[k] = AttrDict.wrap(v)
+
+        class ERModule(nn.Module):
+            def __init__(self, config=None):
+                super().__init__()
+                self.config = AttrDict()
+                self.set_default_config()
+                if config:
+                    self.config.update(config)
+
+            def set_default_config(self):
+                pass
+
+        class _Registry(dict):
+            def register(self, name, obj=None):
+                if obj is not None:
+                    self[name] = obj
+                    return obj
+
+                def deco(fn):
+                    self[name] = fn
+                    return fn
+
+                return deco
+
+        ever = types.ModuleType("ever")
+        ever_core = types.ModuleType("ever.core")
+        ever_registry = types.ModuleType("ever.core.registry")
+        ever_logger = types.ModuleType("ever.core.logger")
+        ever_interface = types.ModuleType("ever.interface")
+
+        ever_registry.MODEL = _Registry()
+        ever_registry.DATALOADER = _Registry()
+        ever_registry.LOSS = _Registry()
+        ever_logger.get_logger = lambda *a, **k: logging.getLogger("ever")
+        ever_interface.ERModule = ERModule
+        ever_interface.ConfigurableMixin = object
+        ever.ERModule = ERModule
+        ever.registry = ever_registry
+        ever.core = ever_core
+        ever_core.registry = ever_registry
+        ever_core.logger = ever_logger
+        ever.interface = ever_interface
+        sys.modules["ever"] = ever
+        sys.modules["ever.core"] = ever_core
+        sys.modules["ever.core.registry"] = ever_registry
+        sys.modules["ever.core.logger"] = ever_logger
+        sys.modules["ever.interface"] = ever_interface
+
+
+def install_yacs_stub() -> None:
+    """Minimal yacs.config.CfgNode for `hrt_config.py` (attribute dict + clone)."""
+    if "yacs" in sys.modules:
+        return
+    import copy
+
+    class CfgNode(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+        def clone(self):
+            return copy.deepcopy(self)
+
+    yacs = types.ModuleType("yacs")
+    yacs_config = types.ModuleType("yacs.config")
+    yacs_config.CfgNode = CfgNode
+    yacs.config = yacs_config
+    sys.modules["yacs"] = yacs
+    sys.modules["yacs.config"] = yacs_config
+
+
+def _path_front(root: str) -> None:
+    if root in sys.path:
+        sys.path.remove(root)
+    sys.path.insert(0, root)
+
+
+def load_scd_network():
+    """Import SCD-AAAI2023's `network` package (TSCD, mix_transformer, segformer_head)."""
+    install_torch_stubs()
+    _path_front(SCD_ROOT)
+    import network.TSCD_model as tscd_model  # noqa: E402
+    import network.mix_transformer as mix_transformer  # noqa: E402
+
+    return tscd_model, mix_transformer
+
+
+def load_wavecam_net():
+    """Import WaveCAM's `net` package with the pretrained-download path neutralized."""
+    install_torch_stubs()
+    _path_front(WAVECAM_ROOT)
+    import net.resnet50_cam as resnet50_cam  # noqa: E402
+    import net.wavecam as wavecam  # noqa: E402
+
+    # Net() hardcodes pretrained=True (`net/resnet50_cam.py:112`); there is no network
+    # egress, so neutralize the model-zoo fetch for the whole test process (strict=False
+    # load of {} keeps the seeded random init).
+    resnet50_cam.resnet50.model_zoo.load_url = lambda *a, **k: {}
+    return resnet50_cam, wavecam
+
+
+def load_rssformer_module():
+    """Import RSSFormer's `module.baseline.hrnet_aux` (HRNetFusion) via the ever stub."""
+    install_torch_stubs()
+    _path_front(RSSFORMER_ROOT)
+    import module.baseline.hrnet_aux as hrnet_aux  # noqa: E402
+
+    return hrnet_aux
+
+
+def load_hrt_backbone():
+    """Import RSSFormer's HRFormer backbone (`hrt_backbone.py`, needs the yacs stub)."""
+    install_torch_stubs()
+    install_yacs_stub()
+    _path_front(RSSFORMER_ROOT)
+    import module.baseline.base_hrnet.hrt_backbone as hrt_backbone  # noqa: E402
+
+    return hrt_backbone
+
+
+def load_drfl_dcl():
+    """Import DRFL's dual-stream DCL net."""
+    install_torch_stubs()
+    _path_front(DRFL_ROOT)
+    import model.DCL as dcl  # noqa: E402
+
+    return dcl

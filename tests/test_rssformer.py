@@ -43,7 +43,11 @@ def test_mhca_golden_vs_torch():
         k = k.reshape(B, S, nh, d // nh).permute(0, 2, 1, 3)
         v = v.reshape(B, S, nh, d // nh).permute(0, 2, 1, 3)
         attn = (q @ k.transpose(-2, -1)).softmax(-1)
-        ref = out_proj((attn @ v).permute(0, 2, 1, 3).reshape(B, S, d)).numpy()
+        # DAL channel gate (`DAL.py:1005-1016`): sigmoid(mean + max of q^T k)
+        m2 = q.transpose(-2, -1) @ k
+        alpha = torch.sigmoid(m2.mean(dim=(-2, -1), keepdim=True)
+                              + m2.amax(dim=(-2, -1), keepdim=True))
+        ref = out_proj(((attn @ v) * alpha).permute(0, 2, 1, 3).reshape(B, S, d)).numpy()
 
     m = Mhca(embed_dim=d, num_heads=nh)
     params = {
@@ -148,3 +152,20 @@ def test_dice_and_tversky_sane():
     assert float(CG.dice_loss_with_logits(logits, true)) < 0.01
     tv = float(CG.tversky_loss_with_logits(pred[..., 0], (true > 0).astype(jnp.float32)))
     assert 0.0 <= tv <= 1.0
+
+
+def test_hrnetfusion_hrt_backbone_smoke(rng):
+    """HRNetFusion with the HRFormer backbone (hrnet_type='hrt_small') builds, runs
+    eval forward, and produces a softmax map (`hrt_backbone.py:370` wired behind the
+    existing config surface)."""
+    import jax
+    import jax.numpy as jnp
+
+    from representationlearning_tpu.models.rssformer import HRNetFusion
+
+    model = HRNetFusion(hrnet_type="hrt_small", classes=7)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    prob = model.apply(variables, x)
+    assert prob.shape == (1, 64, 64, 7)
+    np.testing.assert_allclose(np.asarray(prob.sum(-1)), 1.0, rtol=1e-5)
