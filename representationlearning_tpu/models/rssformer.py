@@ -19,6 +19,7 @@ from ..core.registry import MODELS
 from ..losses.cgfl import segmentation_loss_aux
 from ..ops.image import adaptive_avg_pool_11, resize_bilinear
 from .hrnet import HRNET_EXTRA, HighResolutionNet
+from .hrt import HRT_CONFIGS, HighResolutionTransformerNet
 from .layers import TorchConv
 
 
@@ -48,12 +49,20 @@ class HRNetFusion(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        widths = HRNET_EXTRA[self.hrnet_type]["widths"]
+        if self.hrnet_type in HRT_CONFIGS:
+            # HRFormer alternative backbone (`hrt_backbone.py:370`, selected in the
+            # reference by swapping the import at `hrnet_encoder.py:7-8`)
+            widths = HRT_CONFIGS[self.hrnet_type]["channels"]
+            self.backbone = HighResolutionTransformerNet(
+                self.hrnet_type, dtype=self.dtype, name="backbone",
+            )
+        else:
+            widths = HRNET_EXTRA[self.hrnet_type]["widths"]
+            self.backbone = HighResolutionNet(
+                self.hrnet_type, with_transformer=self.with_transformer,
+                dtype=self.dtype, name="backbone",
+            )
         self.neck_channels = sum(widths)
-        self.backbone = HighResolutionNet(
-            self.hrnet_type, with_transformer=self.with_transformer,
-            dtype=self.dtype, name="backbone",
-        )
         self.neck = SimpleFusion8(self.neck_channels, name="neck")
         self.head_conv = nn.Conv(self.classes, (1, 1), name="head_conv")
         self.headaux = nn.Dense(self.classes, name="headaux")
