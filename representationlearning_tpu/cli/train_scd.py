@@ -17,6 +17,8 @@ import numpy as np
 
 from ..core.config import Config, load_yaml
 from ..core.logging import AverageMeter, Timer, setup_logger
+from ..utils.events import MetricsWriter
+from ..utils.visualize import cam_overlay, encode_cmap, make_grid
 from ..data.voc import BatchLoader, VOC12ClsDataset, VOC12SegDataset
 from ..metrics.seg import SegMetricAccumulator
 from ..models.tscd import TSCD
@@ -105,6 +107,8 @@ def main(argv=None):
     step_fn = make_scd_train_step(model.apply, scd_cfg)
     eval_fn = make_scd_eval_step(model.apply, scd_cfg)
 
+    # scalar/image sink, the reference's TB writer (`dist_train_voc.py:250,393-413`)
+    writer = MetricsWriter(os.path.join(cfg.work_dir.dir, "events"))
     meter = AverageMeter()
     timer = Timer(cfg.train.max_iters)
     loader = iter(BatchLoader(train_ds, global_batch, seed=cfg.seed))
@@ -122,12 +126,41 @@ def main(argv=None):
             log.info("iter %d/%d %s eta %.0fs", n_iter + 1, cfg.train.max_iters,
                      " ".join(f"{k}={v:.4f}" for k, v in means.items()),
                      timer.eta(n_iter + 1 - start))
+            writer.add_scalars(means, n_iter + 1, prefix="train/")
+            writer.flush()
         if (n_iter + 1) % cfg.train.eval_iters == 0 or n_iter + 1 == cfg.train.max_iters:
             CK.save(ckpt_dir, n_iter + 1, state)
             scores = validate(model, state.variables, val_ds, eval_fn, scd_cfg)
             log.info("validate @%d: seg_miou=%.4f cam_miou=%.4f",
                      n_iter + 1, scores["seg"]["miou"], scores["cam"]["miou"])
+            writer.add_scalar("val/seg_miou", scores["seg"]["miou"], n_iter + 1)
+            writer.add_scalar("val/cam_miou", scores["cam"]["miou"], n_iter + 1)
+            _write_val_images(writer, model, state.variables, val_ds, eval_fn, n_iter + 1)
+            writer.flush()
+    writer.close()
     return state
+
+
+def _write_val_images(writer, model, variables, val_ds, eval_fn, step,
+                      n_images: int = 4):
+    """CAM-overlay + prediction-colormap grids, the reference's tensorboard_image /
+    tensorboard_label dumps (`dist_train_voc.py:393-413`)."""
+    imgs, preds, cams = [], [], []
+    for i in range(min(len(val_ds), n_images)):
+        _, img, label, cls_label = val_ds[i]
+        out = eval_fn(variables, {"image": jnp.asarray(img)[None],
+                                  "cls_label": jnp.asarray(cls_label)[None]})
+        imgs.append(img)
+        preds.append(np.asarray(out["seg_pred"])[0])
+        cams.append(np.asarray(out["cam_label"])[0])
+    if not imgs:
+        return
+    imgs = np.stack(imgs)
+    overlay = cam_overlay(imgs, np.stack(cams)[..., None].astype(np.float32)
+                          / max(1, int(np.max(cams))))
+    writer.add_image("val/cam_overlay", make_grid(overlay), step)
+    pred_rgb = np.stack([encode_cmap(p) for p in preds]).astype(np.float32) / 255.0
+    writer.add_image("val/seg_pred", make_grid(pred_rgb), step)
 
 
 def validate(model, variables, val_ds, eval_fn, scd_cfg, max_samples: int = 64):
