@@ -66,17 +66,38 @@ def _accumulate_windows(model_fn, x, window, stride, n_out, row_starts, row_weig
     return acc, cnt
 
 
+def pad_for_sliding(image: jax.Array, window: int, stride: int,
+                    row_multiple: int = 1):
+    """Zero-pad (H, W, C) so rows are a multiple of `row_multiple*stride` (and at
+    least `row_multiple * ceil(halo/stride) * stride` so every shard can hold the
+    halo) and columns are fully covered by stride-stepped windows. Returns
+    (padded, (H, W)). Large LoveDA tiles (e.g. 1024x1024 over 3 shards,
+    `RSSFormer predict.py:29-48`) hit the ragged case."""
+    H, W, C = image.shape
+    halo = window - stride
+    rm = row_multiple * stride
+    Hp = -(-H // rm) * rm
+    if halo:
+        Hp = max(Hp, row_multiple * (-(-halo // stride)) * stride)
+    Wp = window + max(0, -(-(max(W, window) - window) // stride)) * stride
+    if (Hp, Wp) != (H, W):
+        image = jnp.pad(image, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    return image, (H, W)
+
+
 def sliding_window_predict(
     model_fn: Callable, image: jax.Array, window: int, stride: int, n_out: int
 ) -> jax.Array:
-    """Single-chip path. image (H, W, C); H, W multiples of stride; window a multiple
-    of stride. Returns averaged logits (H, W, n_out)."""
+    """Single-chip path. image (H, W, C); ragged sizes are zero-padded to window
+    coverage and cropped back. Returns averaged logits (H, W, n_out)."""
     halo = window - stride
-    H, W, C = image.shape
+    image, (H, W) = pad_for_sliding(image, window, stride)
     xp = jnp.pad(image, ((halo, halo), (0, 0), (0, 0)))
     row_starts = range(0, xp.shape[0] - window + 1, stride)
     acc, cnt = _accumulate_windows(model_fn, xp, window, stride, n_out, row_starts)
-    return acc[halo : halo + H] / jnp.maximum(cnt[halo : halo + H], 1.0)
+    out = acc[halo : halo + image.shape[0]] / jnp.maximum(
+        cnt[halo : halo + image.shape[0]], 1.0)
+    return out[:H, :W]
 
 
 def sharded_sliding_window_predict(
@@ -88,15 +109,14 @@ def sharded_sliding_window_predict(
     n_out: int,
 ) -> jax.Array:
     """Row-sharded path over the mesh "model" axis. Bit-identical to
-    `sliding_window_predict` (same windows, partitioned ownership)."""
+    `sliding_window_predict` run on the same n-shard padding
+    (`pad_for_sliding(image, window, stride, row_multiple=n)`); for row counts already
+    divisible by n*stride the two paths see the identical image."""
     n = mesh.shape[MODEL_AXIS]
     halo = window - stride
-    H, W, C = image.shape
-    if H % (n * stride):
-        raise ValueError(f"H={H} must divide n_shards*stride={n * stride}")
-    Hs = H // n
-    if halo and Hs < halo:
-        raise ValueError(f"shard height {Hs} smaller than halo {halo}")
+    image, (H, W) = pad_for_sliding(image, window, stride, row_multiple=n)
+    Hs = image.shape[0] // n
+    assert Hs % stride == 0 and (not halo or Hs >= halo)
 
     def shard_fn(x_slab):  # (Hs, W, C)
         idx = jax.lax.axis_index(MODEL_AXIS)
@@ -141,4 +161,4 @@ def sharded_sliding_window_predict(
         in_specs=P(MODEL_AXIS, None, None),
         out_specs=P(MODEL_AXIS, None, None),
     )
-    return shard(image)
+    return shard(image)[:H, :W]

@@ -22,6 +22,45 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> bool:
+    """Multi-host entry (`SURVEY.md §2.6`): wire `jax.distributed.initialize` so a
+    multi-host slice (DCN between hosts, ICI within) presents one global device set.
+
+    Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID when args are
+    None (the standard launcher contract; on Cloud TPU pods a bare
+    `jax.distributed.initialize()` autodetects). Returns True when a multi-process
+    runtime was initialized, False for the single-process (local) case. Idempotent.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    num_processes = num_processes if num_processes is not None else (
+        int(env_np) if env_np else None)
+    process_id = process_id if process_id is not None else (
+        int(env_pid) if env_pid else None)
+    if coordinator_address is None and num_processes is None:
+        return False  # single process — nothing to do
+    if jax.process_count() > 1:
+        return True  # already initialized
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def process_local_slice(global_indices: np.ndarray) -> np.ndarray:
+    """The `DistributedSampler` replacement (`dist_train_voc.py:214`): each host takes
+    its `process_index()`-strided subset of the global sample indices; devices on the
+    host then receive contiguous sub-shards via `shard_batch`."""
+    return np.asarray(global_indices)[jax.process_index()::jax.process_count()]
+
+
 def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
     """Create a ("data", "model") mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())

@@ -67,8 +67,38 @@ def test_sharded_sliding_equals_single(devices8, window, stride):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6)
 
 
-def test_sharded_sliding_rejects_bad_shapes(devices8):
+def test_sharded_sliding_pads_formerly_bad_shapes(devices8):
+    # these sizes used to be rejected; they are now padded and cropped internally
     mesh = M.make_mesh(n_data=1, n_model=8)
     img = jnp.zeros((60, 48, 3))
-    with pytest.raises(ValueError):
-        sharded_sliding_window_predict(_local_model(2), img, mesh, 16, 8, 2)
+    out = sharded_sliding_window_predict(_local_model(2), img, mesh, 16, 8, 2)
+    assert out.shape == (60, 48, 2)
+
+
+def test_sharded_sliding_window_ragged_sizes(devices8, rng):
+    """Ragged tile sizes (H not divisible by n*stride, W not window-covered) are
+    pad-and-cropped inside `sharded_sliding_window_predict` and match the single-chip
+    path on the same padding (`RSSFormer predict.py:29-48` arbitrary LoveDA tiles)."""
+    import jax
+    from representationlearning_tpu.infer.sliding import (
+        pad_for_sliding, sharded_sliding_window_predict, sliding_window_predict,
+    )
+    from representationlearning_tpu.parallel import mesh as M
+
+    window, stride, n_out = 16, 8, 3
+    w = jnp.asarray(rng.standard_normal((window * window * 3, n_out)), jnp.float32)
+
+    def model_fn(tiles):
+        B = tiles.shape[0]
+        v = (tiles.reshape(B, -1) @ w).reshape(B, 1, 1, n_out)
+        return jnp.broadcast_to(v, (B, window, window, n_out))
+
+    mesh = M.make_mesh(n_data=1, n_model=8, devices=devices8[:8])
+    for H, W in [(70, 33), (100, 16), (64, 40)]:
+        img = jnp.asarray(rng.standard_normal((H, W, 3)), jnp.float32)
+        got = jax.jit(lambda im: sharded_sliding_window_predict(
+            model_fn, im, mesh, window=window, stride=stride, n_out=n_out))(img)
+        padded, _ = pad_for_sliding(img, window, stride, row_multiple=8)
+        want = sliding_window_predict(model_fn, padded, window, stride, n_out)[:H, :W]
+        assert got.shape == (H, W, n_out)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
