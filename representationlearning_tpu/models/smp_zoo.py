@@ -255,17 +255,24 @@ class FPA(nn.Module):
         glob = adaptive_avg_pool_11(x)
         glob = ConvBNReLU(self.ch, k=1, name="glob")(glob, train)
         mid = ConvBNReLU(self.ch, k=1, name="mid")(x, train)
-        # 3-level conv pyramid (7/5/3) at halved resolutions
-        d1 = ConvBNReLU(self.ch, k=7, name="d1")(nn.avg_pool(x, (2, 2), (2, 2)), train)
-        d2 = ConvBNReLU(self.ch, k=5, name="d2")(nn.avg_pool(d1, (2, 2), (2, 2)), train)
-        d3 = ConvBNReLU(self.ch, k=3, name="d3")(nn.avg_pool(d2, (2, 2), (2, 2)), train)
-        u3 = resize_bilinear(ConvBNReLU(self.ch, k=3, name="u3")(d3, train),
-                             d2.shape[1:3], align_corners=False)
-        u2 = resize_bilinear(ConvBNReLU(self.ch, k=5, name="u2")(d2 + u3, train),
-                             d1.shape[1:3], align_corners=False)
-        u1 = resize_bilinear(ConvBNReLU(self.ch, k=7, name="u1")(d1 + u2, train),
-                             (H, W), align_corners=False)
-        return mid * u1 + jnp.broadcast_to(glob, (B, H, W, self.ch))
+        # conv pyramid (7/5/3) at halved resolutions; depth adapts so tiny feature
+        # maps (small inputs) never pool below 1x1
+        ks = (7, 5, 3)
+        downs, h = [], x
+        for i, k in enumerate(ks):
+            if min(h.shape[1], h.shape[2]) < 2:
+                break
+            h = ConvBNReLU(self.ch, k=k, name=f"d{i + 1}")(
+                nn.avg_pool(h, (2, 2), (2, 2)), train)
+            downs.append(h)
+        up = None
+        for i in range(len(downs) - 1, -1, -1):
+            h = downs[i] if up is None else downs[i] + up
+            tgt = downs[i - 1].shape[1:3] if i > 0 else (H, W)
+            up = resize_bilinear(ConvBNReLU(self.ch, k=ks[i], name=f"u{i + 1}")(h, train),
+                                 tgt, align_corners=False)
+        pyr = up if up is not None else jnp.ones((B, H, W, self.ch), x.dtype)
+        return mid * pyr + jnp.broadcast_to(glob, (B, H, W, self.ch))
 
 
 class GAU(nn.Module):
