@@ -142,3 +142,58 @@ def pamr_refine(
     aff = aff.mean(axis=-1, keepdims=True)
     ref = jax.nn.softmax(aff, axis=3)
     return _propagate(masks, ref, dilations, num_iter)
+
+
+@partial(jax.jit, static_argnames=("dilations", "num_iter", "norm", "extra", "clamp"))
+def par_variant_refine(
+    imgs: jax.Array,
+    masks: jax.Array,
+    dilations: tuple = (1, 2, 4, 8, 12, 24),
+    num_iter: int = 10,
+    w1: float = 0.3,
+    w2: float = 0.01,
+    norm: str = "std",
+    extra: str = "none",
+    clamp: bool = False,
+) -> jax.Array:
+    """The PAR experiment zoo (`RML/backbone/PAR.py:27-1511`, ~20 classes) reduced to
+    its structurally distinct axes as config switches:
+
+    - norm: "std" -> |diff|/(std+eps)/w1 (PAR1/PAR2*/PAR3*), "w1" -> |diff|/w1
+      (PAR1a), "bare" -> |diff| (PAR1b)
+    - extra: "none" (PAR1 family), "pos" -> +w2*softmax(position affinity) (PAR, the
+      load-bearing variant), "+var" -> +softmax(local variation) (PAR3),
+      "-var" -> -w2*softmax(local variation) (PAR3b1/3d/3f == VARM's shape)
+    - clamp: clamp the mixed affinity at 0 (PAR3bb)
+
+    The remaining sweep names (PAR2/2a/2b count-rescalings, PAR3b/3b3 scalar
+    sharpness tweaks, PAR3c/3e ratio forms, PAR4 skewness) differ only by scalar
+    re-weightings of these same terms and are documented as intentionally excluded
+    duplicates in PARITY.md.
+    """
+    masks = resize_bilinear(masks, imgs.shape[1:3], align_corners=True)
+    nb = dilated_neighbors(imgs, dilations)
+    center = imgs[:, :, :, None, :]
+    diff = jnp.abs(nb - center)
+    if norm == "std":
+        a = diff / (_unbiased_std(nb, 3) + 1e-8) / w1
+    elif norm == "w1":
+        a = diff / w1
+    else:
+        a = diff
+    aff = (-(a ** 2)).mean(axis=-1, keepdims=True)
+    ref = jax.nn.softmax(aff, axis=3)
+
+    if extra == "pos":
+        pos = _pos_tensor(dilations)
+        pos_aff = -((pos / (jnp.std(pos, ddof=1) + 1e-8)) / w1) ** 2
+        ref = ref + w2 * jax.nn.softmax(pos_aff)[None, None, None, :, None]
+    elif extra in ("+var", "-var"):
+        t1 = jnp.concatenate([nb[:, 1:], nb[:, -1:]], axis=1)
+        t2 = jnp.concatenate([nb[:, :, 1:], nb[:, :, -1:]], axis=2)
+        temp = ((nb - t1) ** 2 + (nb - t2) ** 2).mean(axis=-1, keepdims=True)
+        sv = jax.nn.softmax(temp, axis=3)
+        ref = ref + (w2 * sv if extra == "+var" else -w2 * sv)
+    if clamp:
+        ref = jnp.maximum(ref, 0.0)
+    return _propagate(masks, ref, dilations, num_iter)

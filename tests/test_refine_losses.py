@@ -129,3 +129,28 @@ def test_corr_loss_finite_and_grad():
     val, grad = jax.value_and_grad(loss_fn)(c)
     assert np.isfinite(float(val))
     assert bool(jnp.isfinite(grad).all()) and float(jnp.abs(grad).sum()) > 0
+
+
+def test_par_variant_refine_axes(rng):
+    """PAR zoo config axes (`RML/backbone/PAR.py:27-1511`): each switch runs, and the
+    defaults reproduce the load-bearing named variants exactly."""
+    from representationlearning_tpu.models.refine import (
+        pamr_refine, par_refine, par_variant_refine,
+    )
+
+    imgs = jnp.asarray(rng.standard_normal((1, 24, 24, 3)), jnp.float32)
+    masks = jnp.asarray(rng.random((1, 12, 12, 4)), jnp.float32)
+    dil, it = (1, 2), 2
+
+    # extra="pos" == PAR; extra="none" == PAMR
+    np.testing.assert_allclose(
+        np.asarray(par_variant_refine(imgs, masks, dil, it, extra="pos")),
+        np.asarray(par_refine(imgs, masks, dil, it)), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(par_variant_refine(imgs, masks, dil, it, extra="none")),
+        np.asarray(pamr_refine(imgs, masks, dil, it)), rtol=1e-6, atol=1e-6)
+
+    for kw in [dict(norm="w1"), dict(norm="bare"), dict(extra="+var"),
+               dict(extra="-var"), dict(extra="-var", clamp=True)]:
+        out = par_variant_refine(imgs, masks, dil, it, **kw)
+        assert out.shape == (1, 24, 24, 4) and bool(jnp.isfinite(out).all()), kw
