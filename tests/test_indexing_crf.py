@@ -81,3 +81,52 @@ def test_crf_softmax_inference_shape():
     out = CRF.crf_inference(img, probs, t=3, labels=4)
     assert out.shape == (4, 16, 16)
     np.testing.assert_allclose(out.sum(0), 1.0, atol=1e-4)
+
+
+def test_mean_field_matches_bruteforce_densecrf(rng):
+    """Cross-validate `ops/crf.py` against an independent O(N^2) numpy mean-field
+    implementing pydensecrf's exact semantics (`SCD-AAAI2023/utils/dcrf.py:7-24`:
+    DIAG Potts compatibility, NORMALIZE_SYMMETRIC kernels, Q <- softmax(-U + sum_m
+    w_m K~_m Q)). The on-device bilateral message rides the approximate bilateral
+    grid, so agreement is asserted loosely: argmax labels nearly everywhere plus
+    high Q correlation."""
+    from representationlearning_tpu.ops.crf import mean_field_inference, unary_from_softmax
+
+    H, W, C = 18, 16, 3
+    img = (rng.random((H, W, 3)) * 255).astype(np.float32)
+    logits = rng.standard_normal((H, W, C)).astype(np.float32) * 2.0
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+
+    sxy_g, compat_g, sxy_b, srgb_b, compat_b, t = 3.0, 3.0, 8.0, 13.0, 10.0, 5
+
+    # --- brute force reference ---
+    yy, xx = np.mgrid[0:H, 0:W]
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(np.float64)
+    d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    Kg = np.exp(-d2 / (2 * sxy_g ** 2))
+    rgb = img.reshape(-1, 3).astype(np.float64)
+    dc2 = ((rgb[:, None, :] - rgb[None, :, :]) ** 2).sum(-1)
+    Kb = np.exp(-d2 / (2 * sxy_b ** 2) - dc2 / (2 * srgb_b ** 2))
+
+    def sym_apply(K, Q):
+        norm = 1.0 / np.sqrt(np.clip(K @ np.ones(K.shape[0]), 1e-20, None))
+        return norm[:, None] * (K @ (norm[:, None] * Q))
+
+    U = -np.log(np.clip(probs.reshape(-1, C), 1e-8, None))
+    Q = np.exp(-U) / np.exp(-U).sum(-1, keepdims=True)
+    for _ in range(t):
+        msg = compat_g * sym_apply(Kg, Q) + compat_b * sym_apply(Kb, Q)
+        e = -U + msg
+        e -= e.max(-1, keepdims=True)
+        Q = np.exp(e) / np.exp(e).sum(-1, keepdims=True)
+    want = Q.reshape(H, W, C)
+
+    got = np.asarray(mean_field_inference(
+        jnp.asarray(img), unary_from_softmax(jnp.asarray(probs)), t=t,
+        sxy_g=sxy_g, compat_g=compat_g, sxy_b=sxy_b, srgb_b=srgb_b, compat_b=compat_b,
+    ))
+
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert agree > 0.9, agree
+    assert corr > 0.9, corr
