@@ -97,13 +97,19 @@ class SRAttention(nn.Module):
         kv = kv.reshape(B, Nk, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]  # (B, nh, Nk, hd)
 
-        if self.use_flash and not self.export_attn and deterministic:
-            # fused flash kernel: the (N, Nk) score tensor never hits HBM
+        if self.use_flash and not self.export_attn and (
+            deterministic or self.attn_drop == 0.0
+        ):
+            # fused flash kernel (fwd + custom_vjp bwd): the (N, Nk) score tensor
+            # never hits HBM in either direction. Requires attn_drop == 0 during
+            # training (the kernel has no probability dropout; the reference trains
+            # with attn_drop 0, `mix_transformer.py:226`).
             from ..ops.pallas.attention import mha_flash
 
             out = mha_flash(q, k, v, scale)
             out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
             out = nn.Dense(C, kernel_init=trunc_normal_init(), name="proj")(out)
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
             return out, None
 
         attn_logits = jnp.einsum(

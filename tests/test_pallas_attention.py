@@ -70,3 +70,60 @@ def test_pallas_varm_propagation_matches_xla():
     a = _propagate(masks, ref, dil, 3)
     b = varm_propagate_pallas(masks, ref, dil, 3, channel_block=4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_flash_backward_matches_xla_grads():
+    """Fused custom_vjp backward vs jax AD through the XLA composition."""
+    rng = np.random.default_rng(3)
+    BH, Nq, Nk, D = 4, 128, 64, 32
+    q = jnp.asarray(rng.standard_normal((BH, Nq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((BH, Nk, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((BH, Nk, D)).astype(np.float32))
+    scale = D ** -0.5
+    cot = jnp.asarray(rng.standard_normal((BH, Nq, D)).astype(np.float32))
+
+    def f_flash(q, k, v):
+        o = flash_attention(q, k, v, scale, block_q=64, block_k=32, interpret=True)
+        return (o * cot).sum()
+
+    def f_ref(q, k, v):
+        return (_xla_attention(q, k, v, scale) * cot).sum()
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_tscd_flash_training_grads_match_reference_path(rng):
+    """TSCD(use_flash=True) must produce the same loss AND gradients as the einsum
+    path when training (the flash branch is now differentiable)."""
+    import functools
+
+    from representationlearning_tpu.models.tscd import TSCD
+    import representationlearning_tpu.ops.pallas.attention as A
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    m_ref = TSCD(backbone="mit_b0", num_classes=6, use_flash=False)
+    variables = m_ref.init(jax.random.PRNGKey(0), x)
+    m_fl = TSCD(backbone="mit_b0", num_classes=6, use_flash=True)
+
+    def loss(model, params):
+        (cls_logits, seg, _, _), _ = model.apply(
+            {"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return (cls_logits ** 2).mean() + (seg ** 2).mean()
+
+    orig = A.flash_attention
+    A.flash_attention = functools.partial(orig, interpret=True)
+    try:
+        l1, g1 = jax.value_and_grad(lambda p: loss(m_fl, p))(variables["params"])
+    finally:
+        A.flash_attention = orig
+    l2, g2 = jax.value_and_grad(lambda p: loss(m_ref, p))(variables["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
