@@ -6,6 +6,8 @@ import pytest
 from representationlearning_tpu.core.registry import MODELS
 from representationlearning_tpu.models import baselines  # noqa: F401 (registers)
 
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
+
 
 @pytest.mark.parametrize("name,kwargs", [
     ("FarSegV1", {}),

@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
+
 
 def test_train_scd_cli(tmp_path):
     from representationlearning_tpu.cli.train_scd import main

@@ -8,6 +8,9 @@ import re
 
 from representationlearning_tpu.convert import torch2jax as C
 from representationlearning_tpu.models.rssformer import HRNetFusion
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
 
 
 def _flatten(tree, prefix=()):

@@ -2,6 +2,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
 
 from representationlearning_tpu.data.medical import DRFLPairedDataset, collate_drfl
 from representationlearning_tpu.losses import dice as D

@@ -7,6 +7,9 @@ from representationlearning_tpu.data.voc import kfold_indices
 from representationlearning_tpu.models import asff, baselines  # noqa: F401 (registers)
 from representationlearning_tpu.wsss import camutils as CU
 from representationlearning_tpu.wsss import msf
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
 
 
 def test_asff_models_contract():

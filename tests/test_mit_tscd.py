@@ -8,6 +8,8 @@ import torch.nn.functional as F
 from representationlearning_tpu.models.mit import SRAttention, make_mit
 from representationlearning_tpu.models.tscd import TSCD
 
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
+
 
 def test_mit_b0_feature_shapes():
     m = make_mit("mit_b0", drop_path_rate=0.0)

@@ -8,6 +8,9 @@ import torch.nn.functional as F
 from representationlearning_tpu.convert import torch2jax as C
 from representationlearning_tpu.models.resnet import Net, ResNet50Backbone, resnet50_config
 from representationlearning_tpu.models.wavecam import ClassPredictorWavecam, WaveModeling
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
 
 
 # ------------------------------------------------- torch spec: one bottleneck + stem

@@ -10,6 +10,9 @@ from representationlearning_tpu.models.wavemlp import PATM, WaveBlock
 from representationlearning_tpu.train.optim import make_poly_warmup_adamw, tscd_param_labels
 from representationlearning_tpu.train.rml import RMLConfig, make_rml_train_step
 from representationlearning_tpu.train.state import TrainState
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
 
 
 def test_kl_div_matches_torch():

@@ -1,6 +1,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
 
 from representationlearning_tpu.data.loveda import LoveDADataset, collate_loveda
 from representationlearning_tpu.models.rssformer import HRNetFusion

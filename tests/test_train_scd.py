@@ -9,6 +9,9 @@ from representationlearning_tpu.train.scd import (
     SCDConfig, make_scd_eval_step, make_scd_train_step,
 )
 from representationlearning_tpu.train.state import TrainState
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
 
 
 def _make_state(model, x, cfg, cam_iters=0):

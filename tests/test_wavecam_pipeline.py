@@ -5,6 +5,8 @@ import pytest
 
 from representationlearning_tpu.wsss.wavecam_pipeline import WaveCAMConfig, WaveCAMPipeline
 
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def pipeline(tmp_path_factory):
