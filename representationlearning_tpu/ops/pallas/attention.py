@@ -25,7 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                       block_k: int):
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, D)
+    # matmul operands stay in the input dtype (bf16 on the fast path) so the MXU
+    # runs at its bf16 rate; accumulation and softmax bookkeeping are fp32
+    q = q_ref[0]  # (block_q, D)
     Nk = k_ref.shape[1]
     block_q, D = q.shape
 
@@ -34,18 +36,19 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     acc = jnp.zeros((block_q, D), jnp.float32)
 
     for kb in range(pl.cdiv(Nk, block_k)):
-        k = k_ref[0, kb * block_k : (kb + 1) * block_k, :].astype(jnp.float32)
-        v = v_ref[0, kb * block_k : (kb + 1) * block_k, :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (block_q, bk)
+        k = k_ref[0, kb * block_k : (kb + 1) * block_k, :]
+        v = v_ref[0, kb * block_k : (kb + 1) * block_k, :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + p.sum(axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
         m = m_new
 
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = m + jnp.log(l)  # (block_q, 1)
 
 
 def _flash_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
@@ -57,27 +60,30 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    q = q_ref[0].astype(jnp.float32)          # (bq, D)
-    do = do_ref[0].astype(jnp.float32)        # (bq, D)
-    o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]                 # (bq, 1)
-    delta = (do * o).sum(axis=-1, keepdims=True)  # (bq, 1)
+    q = q_ref[0]                              # (bq, D), input dtype
+    do = do_ref[0]
+    o = o_ref[0]
+    lse = lse_ref[0]                          # (bq, 1) fp32
+    delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(
+        axis=-1, keepdims=True)               # (bq, 1)
     Nk = k_ref.shape[1]
     block_q, D = q.shape
 
     dq = jnp.zeros((block_q, D), jnp.float32)
     for kb in range(pl.cdiv(Nk, block_k)):
         sl = pl.ds(kb * block_k, block_k)
-        k = k_ref[0, sl, :].astype(jnp.float32)
-        v = v_ref[0, sl, :].astype(jnp.float32)
-        s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
-        p = jnp.exp(s - lse)                              # (bq, bk)
+        k = k_ref[0, sl, :]
+        v = v_ref[0, sl, :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)                              # (bq, bk) fp32
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)                             # (bq, bk)
-        dq = dq + scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
-        dk_ref[0, sl, :] += (scale * jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)                             # (bq, bk) fp32
+        pq = p.astype(q.dtype)
+        dsq = ds.astype(q.dtype)
+        dq = dq + scale * jnp.dot(dsq, k, preferred_element_type=jnp.float32)
+        dk_ref[0, sl, :] += (scale * jnp.dot(dsq.T, q, preferred_element_type=jnp.float32)
                              ).astype(dk_ref.dtype)
-        dv_ref[0, sl, :] += jnp.dot(p.T, do, preferred_element_type=jnp.float32
+        dv_ref[0, sl, :] += jnp.dot(pq.T, do, preferred_element_type=jnp.float32
                                     ).astype(dv_ref.dtype)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
@@ -102,11 +108,13 @@ def _flash_fwd_call(q, k, v, scale, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Nq, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, Nq), jnp.float32),
+            # trailing singleton keeps the block tile-shaped for Mosaic (last two
+            # block dims must be (8k, 128k) or equal the array dims)
+            jax.ShapeDtypeStruct((BH, Nq, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v)
@@ -141,7 +149,7 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, do):
             pl.BlockSpec((1, Nk, D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
