@@ -75,6 +75,25 @@ def _propagate(masks, ref, dilations, num_iter):
     return masks
 
 
+def propagate(masks, ref, dilations, num_iter):
+    """Mask-propagation dispatcher: on TPU backends, geometries that fit the VMEM
+    budget run the fused pallas kernel (`ops/pallas/varm.py`, masks VMEM-resident
+    across all iterations — 2.4x the XLA path at SCD geometry); everything else
+    (CPU tests, oversized tiles) takes the streaming XLA path. Decision is made at
+    trace time from static shapes, so this is jit-safe. Refinement runs under
+    stop_gradient in every trainer, so the kernel needs no VJP."""
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas.varm import pick_channel_block
+
+        B, H, W, C = masks.shape
+        K = ref.shape[3]
+        if pick_channel_block(C, H, W, K, max(dilations)) is not None:
+            from ..ops.pallas.varm import varm_propagate_pallas
+
+            return varm_propagate_pallas(masks, ref, tuple(dilations), num_iter)
+    return _propagate(masks, ref, dilations, num_iter)
+
+
 @partial(jax.jit, static_argnames=("dilations", "num_iter"))
 def varm_refine(
     imgs: jax.Array,
@@ -98,7 +117,7 @@ def varm_refine(
     aff = aff.mean(axis=-1, keepdims=True)
     temp = temp.mean(axis=-1, keepdims=True)
     ref = jax.nn.softmax(aff, axis=3) - w2 * jax.nn.softmax(temp, axis=3)
-    return _propagate(masks, ref, dilations, num_iter)
+    return propagate(masks, ref, dilations, num_iter)
 
 
 @partial(jax.jit, static_argnames=("dilations", "num_iter"))
@@ -123,7 +142,7 @@ def par_refine(
     pos_aff = jax.nn.softmax(pos_aff)[None, None, None, :, None]
 
     ref = jax.nn.softmax(aff, axis=3) + w2 * pos_aff
-    return _propagate(masks, ref, dilations, num_iter)
+    return propagate(masks, ref, dilations, num_iter)
 
 
 @partial(jax.jit, static_argnames=("dilations", "num_iter"))
@@ -141,7 +160,7 @@ def pamr_refine(
     aff = -((jnp.abs(nb - center) / (_unbiased_std(nb, 3) + 1e-8)) / w1) ** 2
     aff = aff.mean(axis=-1, keepdims=True)
     ref = jax.nn.softmax(aff, axis=3)
-    return _propagate(masks, ref, dilations, num_iter)
+    return propagate(masks, ref, dilations, num_iter)
 
 
 @partial(jax.jit, static_argnames=("dilations", "num_iter", "norm", "extra", "clamp"))
@@ -196,4 +215,4 @@ def par_variant_refine(
         ref = ref + (w2 * sv if extra == "+var" else -w2 * sv)
     if clamp:
         ref = jnp.maximum(ref, 0.0)
-    return _propagate(masks, ref, dilations, num_iter)
+    return propagate(masks, ref, dilations, num_iter)

@@ -11,11 +11,14 @@ Grid: (B, C/CB). Per program: ref (K, H, W) + a replicate-padded masks scratch
 (CB, H+2D, W+2D); each iteration refreshes the pad borders and accumulates the K
 statically-sliced neighbor windows.
 
-STATUS (round 1): bit-exact vs `models.refine._propagate` in pallas interpret mode;
-the tunneled remote Mosaic compiler crashes on it (HTTP 500 in tpu_compile_helper), so
-it is NOT wired into `varm_refine` yet — the streaming XLA path (13.4 ms at the SCD
-geometry) remains the default until the kernel can be compiled/profiled on directly
-attached hardware.
+STATUS (round 2): compiles and runs on real v5e hardware (the round-1 Mosaic crash was
+a 16 MiB scoped-VMEM stack overflow — the 48 unrolled neighbor reads stay live on the
+Mosaic stack; fixed by raising `vmem_limit_bytes` and sizing the channel block to the
+budget). Bit-exact vs `models.refine._propagate` on TPU and in interpret mode, and
+2.4x faster at the SCD geometry (6.0 ms vs 14.4 ms for B4 160^2x21, 10 iters).
+Wired as the default propagation on TPU backends via `models.refine.propagate`;
+geometries whose minimum footprint exceeds the VMEM budget fall back to the XLA path
+(`pick_channel_block` returns None).
 """
 from __future__ import annotations
 
@@ -56,12 +59,34 @@ def _kernel(ref_ref, m_ref, out_ref, scratch, *, dilations, num_iter, H, W, CB, 
     out_ref[0] = m
 
 
+# VMEM budget for one program: Mosaic keeps the K unrolled neighbor-window reads
+# (each CB*H*W f32) live on its scratch stack, plus the affinity block (K*H*W), the
+# replicate-padded scratch, and the in/out mask blocks. v5e has 128 MiB VMEM/core.
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _vmem_estimate(cb: int, H: int, W: int, K: int, D: int) -> int:
+    stack = (K + 4) * cb * H * W * 4  # K live windows + acc/slack
+    fixed = K * H * W * 4 + cb * (H + 2 * D) * (W + 2 * D) * 4 + 2 * cb * H * W * 4
+    return stack + fixed
+
+
+def pick_channel_block(C: int, H: int, W: int, K: int, D: int,
+                       budget: int = _VMEM_BUDGET) -> int | None:
+    """Largest channel block (<= 8) whose VMEM footprint fits the budget; None if
+    even a single channel does not fit (caller falls back to the XLA path)."""
+    for cb in range(min(C, 8), 0, -1):
+        if _vmem_estimate(cb, H, W, K, D) <= budget:
+            return cb
+    return None
+
+
 def varm_propagate_pallas(
     masks: jax.Array,
     ref: jax.Array,
     dilations: tuple,
     num_iter: int,
-    channel_block: int = 8,
+    channel_block: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """masks (B, H, W, C); ref (B, H, W, K, 1) affinity weights (sum over K per pixel).
@@ -71,6 +96,12 @@ def varm_propagate_pallas(
     B, H, W, C = masks.shape
     K = ref.shape[3]
     D = max(dilations)
+    if channel_block is None:
+        channel_block = pick_channel_block(C, H, W, K, D)
+        if channel_block is None:
+            raise ValueError(
+                f"VARM geometry {H}x{W} K={K} exceeds the VMEM budget even at "
+                "channel_block=1; use the XLA propagation path")
     CB = min(channel_block, C)
     if C % CB:
         # pad channels so the grid divides evenly (extra channels are zeros)
@@ -97,6 +128,11 @@ def varm_propagate_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Cp, H, W), jnp.float32),
         scratch_shapes=[pltpu.VMEM((CB, H + 2 * D, W + 2 * D), jnp.float32)],
+        # the K unrolled neighbor-window reads keep ~CB*H*W temporaries live on the
+        # Mosaic stack; the default 16 MiB scoped-vmem limit is too small at SCD
+        # geometry, so raise it to the budget the channel block was sized for
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET + (
+            8 * 1024 * 1024)),
         interpret=interpret,
     )(ref_cf, m_cf)
 

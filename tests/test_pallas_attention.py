@@ -70,6 +70,19 @@ def test_pallas_varm_propagation_matches_xla():
     a = _propagate(masks, ref, dil, 3)
     b = varm_propagate_pallas(masks, ref, dil, 3, channel_block=4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # adaptive channel_block (the TPU default) picks a valid block and matches too
+    c = varm_propagate_pallas(masks, ref, dil, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+def test_varm_vmem_channel_block_picker():
+    """The VMEM-budget channel-block picker drives pallas-vs-XLA dispatch: SCD
+    geometry fits, oversized tiles return None (XLA fallback in `refine.propagate`)."""
+    from representationlearning_tpu.ops.pallas.varm import pick_channel_block
+
+    cb = pick_channel_block(21, 160, 160, 48, 24)
+    assert cb is not None and 1 <= cb <= 8
+    assert pick_channel_block(21, 2048, 2048, 48, 24) is None
 
 
 def test_flash_backward_matches_xla_grads():
