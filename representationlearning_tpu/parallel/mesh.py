@@ -44,8 +44,11 @@ def initialize_multihost(coordinator_address: str | None = None,
         int(env_pid) if env_pid else None)
     if coordinator_address is None and num_processes is None:
         return False  # single process — nothing to do
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NOTE: the idempotence guard must NOT be jax.process_count() — that call
+    # initializes the XLA backend, after which jax.distributed.initialize()
+    # refuses to run (found by the 2-process CPU test).
+    if jax.distributed.is_initialized():
+        return True
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -2,11 +2,12 @@
 
 The reference logs scalars and CAM/attention image grids every 200 iters through
 `torch.utils.tensorboard` (`SCD-AAAI2023/scripts/dist_train_voc.py:250,393-413`).
-This image has no tensorboard package, so the sink writes:
+The sink always writes dependency-free artifacts:
   - scalars to `<logdir>/scalars.csv` (step,tag,value — trivially plottable/greppable)
   - images to `<logdir>/images/<tag>_<step>.png` (PIL)
-
-Same information, dependency-free, consumable by any dashboard.
+and, when the tensorboard package is importable (it is in this image via torch),
+mirrors both into real TensorBoard event files under `<logdir>` so `tensorboard
+--logdir` works exactly like the reference's.
 """
 from __future__ import annotations
 
@@ -17,10 +18,19 @@ from typing import Mapping
 import numpy as np
 
 
+def _try_tb_writer(logdir: str):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=logdir)
+    except Exception:
+        return None
+
+
 class MetricsWriter:
     """Scalar + image event writer with a TensorBoard-like interface."""
 
-    def __init__(self, logdir: str):
+    def __init__(self, logdir: str, tensorboard: bool = True):
         self.logdir = logdir
         self.img_dir = os.path.join(logdir, "images")
         os.makedirs(self.img_dir, exist_ok=True)
@@ -30,9 +40,12 @@ class MetricsWriter:
         self._csv = csv.writer(self._fh)
         if new:
             self._csv.writerow(["step", "tag", "value"])
+        self._tb = _try_tb_writer(logdir) if tensorboard else None
 
     def add_scalar(self, tag: str, value, step: int) -> None:
         self._csv.writerow([int(step), tag, float(value)])
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), int(step))
 
     def add_scalars(self, scalars: Mapping[str, float], step: int,
                     prefix: str = "") -> None:
@@ -50,9 +63,15 @@ class MetricsWriter:
             arr = np.stack([arr] * 3, axis=-1)
         path = os.path.join(self.img_dir, f"{tag.replace('/', '_')}_{int(step):07d}.png")
         Image.fromarray(arr).save(path)
+        if self._tb is not None:
+            self._tb.add_image(tag, arr, int(step), dataformats="HWC")
 
     def flush(self) -> None:
         self._fh.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
     def close(self) -> None:
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -114,3 +114,27 @@ def test_drfl_binary_stats_and_sweep_gallery(tmp_path):
     html = write_html_gallery(str(tmp_path), [("case0", [("input", "a.png")])])
     assert os.path.exists(html)
     assert "case0" in open(html).read()
+
+
+def test_metrics_writer_csv_png_and_tensorboard(tmp_path):
+    """The observability sink writes CSV scalars + PNG images always, and mirrors
+    into real TensorBoard event files when the tensorboard package is available
+    (reference parity: `SCD dist_train_voc.py:250,393-413`)."""
+    from representationlearning_tpu.utils.events import MetricsWriter
+
+    d = str(tmp_path / "events")
+    w = MetricsWriter(d)
+    w.add_scalar("loss/total", 1.5, 10)
+    w.add_scalars({"miou": 0.5}, 20, prefix="val/")
+    w.add_image("cam/overlay", np.random.default_rng(0).random((16, 16, 3)), 10)
+    w.flush()
+    w.close()
+
+    rows = open(os.path.join(d, "scalars.csv")).read().strip().splitlines()
+    assert rows[0] == "step,tag,value" and len(rows) == 3
+    assert os.listdir(os.path.join(d, "images")) == ["cam_overlay_0000010.png"]
+    try:
+        import torch.utils.tensorboard  # noqa: F401
+    except Exception:
+        return
+    assert any(f.startswith("events.out.tfevents") for f in os.listdir(d))
