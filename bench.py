@@ -52,11 +52,14 @@ def peak_tflops_per_chip():
 
 
 def flops_per_call(fn, *args):
-    """XLA's cost analysis of the compiled function; None if unavailable."""
+    """XLA's cost analysis of the compiled function; None if unavailable.
+    Reuses fn's own jit cache when fn is already jitted (wrapping a jitted fn in
+    a fresh jax.jit would force a second full compile)."""
     import jax
 
     try:
-        c = jax.jit(fn).lower(*args).compile().cost_analysis()
+        jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
+        c = jfn.lower(*args).compile().cost_analysis()
         if isinstance(c, (list, tuple)):
             c = c[0]
         f = float(c.get("flops", 0.0))
@@ -65,7 +68,7 @@ def flops_per_call(fn, *args):
         return None
 
 
-def device_seconds_per_call(fn, *args, k_short=1, k_long=11, reps=5):
+def device_seconds_per_call(fn, *args, k_short=1, k_long=11, reps=3):
     """Time fn(*args, k) with a k-long on-device dependency chain inside; median of
     per-rep (t(k_long)-t(k_short)) / (k_long-k_short). fn must force a host fetch."""
     import statistics
@@ -108,10 +111,12 @@ def _emit(metric, value, unit, flops_per_ex, assumed_a100_mfu, peak, extra=None)
 
 
 # ----------------------------------------------------------------- inference benches
-def bench_segformer_b1_predict(peak, use_flash=True):
-    """Headline: TSCD(SegFormer-MiT-B1) 512^2 seg inference tiles/s/chip. Non-exporting
-    attention blocks ride the pallas flash kernel when `use_flash` (falls back to the
-    XLA path if the kernel fails to compile on this runtime)."""
+def bench_segformer_b1_predict(peak, use_flash=False):
+    """Headline: TSCD(SegFormer-MiT-B1) 512^2 seg inference tiles/s/chip.
+    use_flash defaults to False: at SegFormer's spatial-reduction shapes (huge Nq,
+    tiny Nk<=256) the fused kernel measured ~7% SLOWER than XLA's two thin matmuls
+    on v5e (kernel launch overhead dominates; see PERF.md) — flash remains available
+    as a memory-saving option for long-sequence shapes."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -234,7 +239,7 @@ def bench_scd_pseudo_labels(peak):
     from representationlearning_tpu.wsss import camutils as CU
 
     batch = 4
-    model = TSCD(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16, use_flash=True)
+    model = TSCD(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16, use_flash=False)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32)
     cls_label = jnp.asarray((rng.random((batch, 20)) > 0.7), jnp.float32)
@@ -277,7 +282,7 @@ def _python_chained_steps(step_fn, state, batch, key, k):
     return float(metrics["total"]), state
 
 
-def _train_rate(step_fn, state, batch, key, batch_size, k_short=1, k_long=6, reps=3):
+def _train_rate(step_fn, state, batch, key, batch_size, k_short=1, k_long=4, reps=2):
     import statistics
 
     _python_chained_steps(step_fn, state, batch, key, 1)  # compile
@@ -316,9 +321,10 @@ def bench_rssformer_train(peak):
     }
     step_fn = make_rssformer_train_step(model, cfg)
     rate = _train_rate(step_fn, state, batch_data, jax.random.PRNGKey(0), batch)
+    flops = flops_per_call(step_fn, state, batch_data, jax.random.PRNGKey(0))
     return _emit(
         "rssformer_w32_512_train_images_per_sec_per_chip", rate, "images/s",
-        None, ASSUMED_A100_TRAIN_MFU, peak,
+        flops / batch if flops else None, ASSUMED_A100_TRAIN_MFU, peak,
     )
 
 
@@ -353,9 +359,10 @@ def bench_rml_train(peak):
     }
     step_fn = make_rml_train_step(model.apply, cfg)
     rate = _train_rate(step_fn, state, batch_data, jax.random.PRNGKey(0), batch)
+    flops = flops_per_call(step_fn, state, batch_data, jax.random.PRNGKey(0))
     return _emit(
         "rml_mitb1_320_train_images_per_sec_per_chip", rate, "images/s",
-        None, ASSUMED_A100_TRAIN_MFU, peak,
+        flops / batch if flops else None, ASSUMED_A100_TRAIN_MFU, peak,
     )
 
 
@@ -374,7 +381,11 @@ def main():
             b(peak)
         except Exception as e:  # one failing aux bench must not kill the headline
             if b is bench_segformer_b1_predict:
-                bench_segformer_b1_predict(peak, use_flash=False)
+                print(json.dumps({
+                    "metric": "segformer_b1_512_tiles_per_sec_per_chip", "value": 0.0,
+                    "unit": "error", "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }), flush=True)
             else:
                 print(json.dumps({
                     "metric": b.__name__, "value": 0.0, "unit": "error",

@@ -19,6 +19,7 @@ from ..core.config import Config, load_yaml
 from ..core.logging import AverageMeter, Timer, setup_logger
 from ..utils.events import MetricsWriter
 from ..utils.visualize import cam_overlay, encode_cmap, make_grid
+from ..data.prefetch import ThreadedLoader
 from ..data.voc import BatchLoader, VOC12ClsDataset, VOC12SegDataset
 from ..metrics.seg import SegMetricAccumulator
 from ..models.tscd import TSCD
@@ -111,7 +112,10 @@ def main(argv=None):
     writer = MetricsWriter(os.path.join(cfg.work_dir.dir, "events"))
     meter = AverageMeter()
     timer = Timer(cfg.train.max_iters)
-    loader = iter(BatchLoader(train_ds, global_batch, seed=cfg.seed))
+    # background batch preparation overlaps host augmentation with the device
+    # step (`DataLoader(num_workers=10)` analog, `dist_train_voc.py:229`)
+    loader = iter(ThreadedLoader(BatchLoader(train_ds, global_batch, seed=cfg.seed),
+                                 depth=4))
     start = int(state.step)
     for n_iter in range(start, cfg.train.max_iters):
         _, img, cls_label, box = next(loader)

@@ -168,6 +168,120 @@ class Block(nn.Module):
         return x, attn
 
 
+class _LNParams(nn.Module):
+    """Param holder matching nn.LayerNorm's tree (scale, bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseParams(nn.Module):
+    """Param holder matching nn.Dense's tree (kernel, bias)."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", trunc_normal_init(), (self.din, self.dout)),
+                self.param("bias", nn.initializers.zeros, (self.dout,)))
+
+
+class _ConvParams(nn.Module):
+    """Param holder matching nn.Conv's tree (HWIO kernel, bias)."""
+
+    shape: tuple  # (kh, kw, cin_per_group, cout)
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", fan_out_conv_init(), self.shape),
+                self.param("bias", nn.initializers.zeros, (self.shape[-1],)))
+
+
+class _FusedAttnParams(nn.Module):
+    dim: int
+    sr_ratio: int
+
+    @nn.compact
+    def __call__(self):
+        C = self.dim
+        p = {}
+        p["q_kernel"], p["q_bias"] = _DenseParams(C, C, name="q")()
+        if self.sr_ratio > 1:
+            p["sr_kernel"], p["sr_bias"] = _ConvParams(
+                (self.sr_ratio, self.sr_ratio, C, C), name="sr")()
+            p["srnorm_scale"], p["srnorm_bias"] = _LNParams(C, name="norm")()
+        p["kv_kernel"], p["kv_bias"] = _DenseParams(C, 2 * C, name="kv")()
+        p["proj_kernel"], p["proj_bias"] = _DenseParams(C, C, name="proj")()
+        return p
+
+
+class _FusedMlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        p = {}
+        p["fc1_kernel"], p["fc1_bias"] = _DenseParams(self.dim, self.hidden, name="fc1")()
+
+        class _DW(nn.Module):
+            hidden: int
+
+            @nn.compact
+            def __call__(self):
+                return _ConvParams((3, 3, 1, self.hidden), name="Conv_0")()
+
+        (dwk, dwb) = _DW(self.hidden, name="dwconv")()
+        p["dw_kernel"], p["dw_bias"] = dwk[:, :, 0, :], dwb
+        p["fc2_kernel"], p["fc2_bias"] = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return p
+
+
+class FusedBlock(nn.Module):
+    """Inference-path Block with the SAME parameter tree as `Block` (param-holder
+    children mirror nn.Dense/nn.Conv/nn.LayerNorm naming, so checkpoints and
+    converters are interchangeable) but whose forward runs as ONE fused pallas
+    kernel on TPU (`ops/pallas/mit_block.py`) — LN, SR-attention, residuals,
+    MixFFN incl. the 3x3 depthwise conv all VMEM-resident. CPU backends take the
+    identical-math XLA reference path. Deterministic-only (no dropout/drop-path),
+    export_attn must be False."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    sr_ratio: int = 1
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    export_attn: bool = False
+    use_flash: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, H, W, deterministic: bool = True):
+        if not deterministic or self.export_attn:
+            raise ValueError("FusedBlock is inference-only (deterministic, no "
+                             "attention export); build the model with "
+                             "fused_blocks=False for training/export paths")
+        from ..ops.pallas.mit_block import fused_block
+
+        p = {}
+        p["ln1_scale"], p["ln1_bias"] = _LNParams(self.dim, name="norm1")()
+        p.update(_FusedAttnParams(self.dim, self.sr_ratio, name="attn")())
+        p["ln2_scale"], p["ln2_bias"] = _LNParams(self.dim, name="norm2")()
+        p.update(_FusedMlpParams(self.dim, int(self.dim * self.mlp_ratio),
+                                 name="mlp")())
+        out = fused_block(x, p, H=H, W=W, sr=self.sr_ratio, nh=self.num_heads,
+                          dtype=self.dtype)
+        return out, None
+
+
 class OverlapPatchEmbed(nn.Module):
     patch_size: int
     stride: int
@@ -217,6 +331,9 @@ class MixVisionTransformer(nn.Module):
     # with_cp hook, `base_hrnet/hrnet_encoder.py:39-40`, made real: trades recompute
     # for activation memory so bigger crops/batches fit HBM)
     collect_attns: bool | str = "last2"  # True/"all" | "last2" | False/"none"
+    fused_blocks: bool = False  # inference: run non-exporting blocks as single fused
+    # pallas kernels (see FusedBlock); identical param tree, so the flag can be
+    # flipped on any trained/converted checkpoint
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True):
@@ -234,7 +351,12 @@ class MixVisionTransformer(nn.Module):
                 want = (mode == "all") or (
                     mode == "last2" and cur + b >= total - 2
                 )
-                block_cls = nn.remat(Block, static_argnums=(2, 3, 4)) if self.remat else Block
+                if self.remat:
+                    block_cls = nn.remat(Block, static_argnums=(2, 3, 4))
+                elif self.fused_blocks and not want:
+                    block_cls = FusedBlock
+                else:
+                    block_cls = Block
                 x, attn = block_cls(
                     self.embed_dims[s], self.num_heads[s], self.mlp_ratios[s],
                     self.sr_ratios[s], self.qkv_bias, self.drop_rate,

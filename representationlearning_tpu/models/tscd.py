@@ -31,13 +31,14 @@ class TSCD(nn.Module):
     strides: tuple = (4, 2, 2, 1)
     pooling: str = "gmp"
     use_flash: bool = False
+    fused_blocks: bool = False  # inference: fused pallas kernels for non-exporting blocks
     dtype: Any = jnp.float32
 
     def setup(self):
         cfg = dict(MIT_CONFIGS[self.backbone])
         self.encoder = MixVisionTransformer(
             strides=self.strides, dtype=self.dtype, use_flash=self.use_flash,
-            **cfg, name="encoder"
+            fused_blocks=self.fused_blocks, **cfg, name="encoder"
         )
         self.decoder = SegFormerHead(
             num_classes=self.num_classes, embedding_dim=self.embedding_dim,

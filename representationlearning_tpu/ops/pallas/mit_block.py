@@ -1,0 +1,194 @@
+"""Fully-fused MiT transformer block (pallas TPU kernel) for inference.
+
+Motivation (PERF.md): the SegFormer-B1 512^2 forward is HBM-bound on stage-1/2
+elementwise + normalization traffic — XLA runs LN stats, softmax, GELU and the
+DWConv layout flips as separate HBM passes over (16384, 64)/(16384, 256) tensors.
+This kernel runs ONE whole encoder block per (batch) program with every
+intermediate VMEM-resident:
+
+    y = x + proj(softmax(q(ln1(x)) k(srln(sr(ln1(x))))^T * s) v)        [SRA]
+    out = y + fc2(gelu(dwconv3x3(fc1(ln2(y)))))                          [MixFFN]
+
+Semantics match `models.mit.Block` at deterministic=True (no dropout/drop-path),
+export_attn=False — the configuration of every non-exporting block in inference
+and of stages 1..3 in TSCD (`mix_transformer.py:176-216` reference). The sr
+reduction (kernel==stride, zero overlap) is computed as a patch matmul; the 3x3
+zero-padded depthwise conv as 9 shifted multiply-adds in VMEM.
+
+`fused_block_reference` is the same math in plain jnp (used on CPU and as the
+parity oracle); `fused_block` dispatches kernel-on-TPU / reference-on-CPU.
+Matmuls run with bf16 operands + fp32 accumulation when compute_dtype=bfloat16
+(the einsum convention of the XLA path); LN/softmax/GELU bookkeeping is fp32.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln(x, scale, bias, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(axis=-1, keepdims=True)
+    var = (x32 * x32).mean(axis=-1, keepdims=True) - mu * mu
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _mm(a, b, dtype):
+    return jnp.dot(a.astype(dtype), b.astype(dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _block_math(x, p, *, H, W, sr, nh, dtype):
+    """Shared fused-block math on (N, C) arrays (no batch dim). jnp ops only, so
+    it runs identically inside the pallas kernel and as the XLA reference."""
+    N, C = x.shape
+    hd = C // nh
+    scale = hd ** -0.5
+
+    h = _ln(x, p["ln1_scale"], p["ln1_bias"])                     # (N, C) f32
+    q = _mm(h, p["q_kernel"], dtype) + p["q_bias"].astype(jnp.float32)
+
+    if sr > 1:
+        # kernel==stride conv == non-overlapping patch matmul
+        hs = h.reshape(H // sr, sr, W // sr, sr, C).transpose(0, 2, 1, 3, 4)
+        hs = hs.reshape((H // sr) * (W // sr), sr * sr * C)
+        xs = _mm(hs, p["sr_kernel"].reshape(sr * sr * C, C), dtype)
+        xs = xs + p["sr_bias"].astype(jnp.float32)
+        xs = _ln(xs, p["srnorm_scale"], p["srnorm_bias"])
+    else:
+        xs = h
+    Nk = xs.shape[0]
+    kv = _mm(xs, p["kv_kernel"], dtype) + p["kv_bias"].astype(jnp.float32)
+    # feature layout of the 2C kv output: f = (i2*nh + head)*hd + d  (torch reshape
+    # (Nk, 2, nh, hd)); i2=0 -> k, i2=1 -> v
+    k = kv[:, :C]
+    v = kv[:, C:]
+
+    outs = []
+    for head in range(nh):
+        sl = slice(head * hd, (head + 1) * hd)
+        s = _mm(q[:, sl], k[:, sl].T, dtype) * scale               # (N, Nk) f32
+        m = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        a = e / e.sum(axis=-1, keepdims=True)
+        outs.append(_mm(a, v[:, sl], dtype))                       # (N, hd)
+    o = jnp.concatenate(outs, axis=-1) if nh > 1 else outs[0]
+    o = _mm(o, p["proj_kernel"], dtype) + p["proj_bias"].astype(jnp.float32)
+    y = x.astype(jnp.float32) + o                                  # residual 1
+
+    f = _ln(y, p["ln2_scale"], p["ln2_bias"])
+    f = _mm(f, p["fc1_kernel"], dtype) + p["fc1_bias"].astype(jnp.float32)
+    hid = f.shape[-1]
+    # 3x3 zero-padded depthwise conv on the (H, W) grid, as 9 shifted MACs
+    fi = f.reshape(H, W, hid)
+    dw = p["dw_kernel"].astype(jnp.float32)                        # (3, 3, hid)
+    acc = jnp.zeros((H, W, hid), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            # cross-correlation: out[i, j] += w[ky, kx] * in[i + ky - 1, j + kx - 1]
+            dy, dx = ky - 1, kx - 1
+            src = fi[max(0, dy) : H + min(0, dy), max(0, dx) : W + min(0, dx)]
+            pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)), (0, 0))
+            acc = acc + jnp.pad(src * dw[ky, kx], pad)
+    f = (acc + p["dw_bias"].astype(jnp.float32)).reshape(N, hid)
+    f = 0.5 * f * (1.0 + jax.lax.erf(f * (2.0 ** -0.5)))           # exact GELU
+    f = _mm(f, p["fc2_kernel"], dtype) + p["fc2_bias"].astype(jnp.float32)
+    return y + f                                                   # residual 2
+
+
+_PARAM_KEYS = (
+    "ln1_scale", "ln1_bias", "q_kernel", "q_bias", "sr_kernel", "sr_bias",
+    "srnorm_scale", "srnorm_bias", "kv_kernel", "kv_bias", "proj_kernel",
+    "proj_bias", "ln2_scale", "ln2_bias", "fc1_kernel", "fc1_bias",
+    "dw_kernel", "dw_bias", "fc2_kernel", "fc2_bias",
+)
+
+
+def _param_list(p: Mapping[str, jax.Array], sr: int):
+    keys = [k for k in _PARAM_KEYS
+            if sr > 1 or not (k.startswith("sr") or k.startswith("srnorm"))]
+    return keys, [p[k] for k in keys]
+
+
+def fused_block_reference(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
+                          W: int, sr: int, nh: int,
+                          dtype: Any = jnp.float32) -> jax.Array:
+    """XLA reference: vmapped fused-block math over the batch dim."""
+    fn = functools.partial(_block_math, H=H, W=W, sr=sr, nh=nh, dtype=dtype)
+    return jax.vmap(lambda xb: fn(xb, p))(x).astype(x.dtype)
+
+
+def _kernel(*refs, keys, H, W, sr, nh, dtype):
+    x_ref, out_ref = refs[0], refs[-1]
+    p = {k: r[...] for k, r in zip(keys, refs[1:-1])}
+    out_ref[0] = _block_math(
+        x_ref[0], p, H=H, W=W, sr=sr, nh=nh, dtype=dtype
+    ).astype(out_ref.dtype)
+
+
+def fused_block_pallas(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
+                       W: int, sr: int, nh: int, dtype: Any = jnp.float32,
+                       interpret: bool | None = None) -> jax.Array:
+    """Whole-block pallas kernel: grid over batch, everything VMEM-resident."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, N, C = x.shape
+    keys, plist = _param_list(p, sr)
+
+    in_specs = [pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for arr in plist:
+        in_specs.append(pl.BlockSpec(arr.shape, lambda b, n=arr.ndim: (0,) * n,
+                                     memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        functools.partial(_kernel, keys=tuple(keys), H=H, W=W, sr=sr, nh=nh,
+                          dtype=dtype),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(x, *plist)
+
+
+def fused_block(x: jax.Array, p: Mapping[str, jax.Array], *, H: int, W: int,
+                sr: int, nh: int, dtype: Any = jnp.float32) -> jax.Array:
+    """Dispatcher: pallas kernel on TPU, XLA reference elsewhere."""
+    if jax.default_backend() == "tpu":
+        return fused_block_pallas(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype)
+    return fused_block_reference(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype)
+
+
+def block_variables_to_fused(bp: Mapping[str, Any]) -> dict:
+    """Map a `models.mit.Block` param subtree (variables["params"][...]) to the
+    flat dict this kernel consumes. Conv kernels are HWIO; the sr patch-matmul
+    flattens (kh, kw, cin) in exactly HWIO order, the depthwise kernel
+    (3, 3, 1, hid) squeezes its singleton input dim."""
+    a, m = bp["attn"], bp["mlp"]
+    p = {
+        "ln1_scale": bp["norm1"]["scale"], "ln1_bias": bp["norm1"]["bias"],
+        "ln2_scale": bp["norm2"]["scale"], "ln2_bias": bp["norm2"]["bias"],
+        "q_kernel": a["q"]["kernel"], "q_bias": a["q"]["bias"],
+        "kv_kernel": a["kv"]["kernel"], "kv_bias": a["kv"]["bias"],
+        "proj_kernel": a["proj"]["kernel"], "proj_bias": a["proj"]["bias"],
+        "fc1_kernel": m["fc1"]["kernel"], "fc1_bias": m["fc1"]["bias"],
+        "fc2_kernel": m["fc2"]["kernel"], "fc2_bias": m["fc2"]["bias"],
+        "dw_kernel": m["dwconv"]["Conv_0"]["kernel"][:, :, 0, :],
+        "dw_bias": m["dwconv"]["Conv_0"]["bias"],
+    }
+    if "sr" in a:
+        p["sr_kernel"] = a["sr"]["kernel"]
+        p["sr_bias"] = a["sr"]["bias"]
+        p["srnorm_scale"] = a["norm"]["scale"]
+        p["srnorm_bias"] = a["norm"]["bias"]
+    return p

@@ -140,3 +140,46 @@ def test_tscd_flash_training_grads_match_reference_path(rng):
     flat2 = jax.tree_util.tree_leaves(g2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_fused_mit_block_matches_block_all_stages():
+    """The fully-fused block (ops/pallas/mit_block.py) matches `Block` at every
+    stage geometry of the MiT family, in both the XLA reference path and the
+    pallas kernel (interpret mode on CPU)."""
+    from representationlearning_tpu.models.mit import Block
+    from representationlearning_tpu.ops.pallas.mit_block import (
+        block_variables_to_fused, fused_block_pallas, fused_block_reference)
+
+    rng = np.random.default_rng(0)
+    for (hw, C, sr, nh) in [(16, 64, 8, 1), (16, 128, 4, 2), (8, 320, 2, 5),
+                            (8, 512, 1, 8)]:
+        tok = jnp.asarray(rng.standard_normal((2, hw * hw, C)), jnp.float32)
+        blk = Block(C, nh, 4.0, sr, export_attn=False)
+        v = blk.init(jax.random.PRNGKey(0), tok, hw, hw)
+        want, _ = blk.apply(v, tok, hw, hw)
+        p = block_variables_to_fused(v["params"])
+        got = fused_block_reference(tok, p, H=hw, W=hw, sr=sr, nh=nh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+        gotk = fused_block_pallas(tok, p, H=hw, W=hw, sr=sr, nh=nh, interpret=True)
+        np.testing.assert_allclose(np.asarray(gotk), np.asarray(want), atol=2e-5)
+
+
+def test_tscd_fused_blocks_same_params_same_outputs():
+    """TSCD(fused_blocks=True) has an IDENTICAL param tree to the standard model
+    (checkpoints interchangeable) and produces the same outputs on shared params."""
+    from representationlearning_tpu.models.tscd import TSCD
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    m0 = TSCD(backbone="mit_b0", num_classes=6)
+    v = m0.init(jax.random.PRNGKey(0), x)
+    m1 = TSCD(backbone="mit_b0", num_classes=6, fused_blocks=True)
+    v1 = m1.init(jax.random.PRNGKey(1), x)
+    assert jax.tree.structure(v) == jax.tree.structure(v1)
+
+    out0 = m0.apply(v, x)
+    out1 = m1.apply(v, x)
+    for a, b in zip(out0, out1):
+        if a is None or isinstance(a, (list, tuple)):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -60,3 +60,31 @@ def test_hsv_roundtrip():
     hsv = T._rgb_to_hsv_cv(img)
     back = T._hsv_to_rgb_cv(hsv)
     assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_threaded_loader_and_device_prefetch_preserve_order():
+    """Input-pipeline overlap (`DataLoader(num_workers=10)` analog,
+    `SCD dist_train_voc.py:214-229`): batches arrive in exactly the synchronous
+    order, worker errors propagate, and device_prefetch keeps items coming."""
+    import numpy as np
+    from representationlearning_tpu.data.prefetch import ThreadedLoader, device_prefetch
+
+    batches = [np.full((2, 3), i) for i in range(7)]
+    got = list(ThreadedLoader(batches, depth=3))
+    assert [int(b[0, 0]) for b in got] == list(range(7))
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("worker died")
+
+    it = iter(ThreadedLoader(boom(), depth=2))
+    next(it)
+    try:
+        next(it)
+        raise AssertionError("worker error not propagated")
+    except RuntimeError as e:
+        assert "worker died" in str(e)
+
+    dev = list(device_prefetch(iter(batches), n=2))
+    assert len(dev) == 7
+    assert [int(np.asarray(b)[0, 0]) for b in dev] == list(range(7))
