@@ -124,8 +124,10 @@ def bench_segformer_b1_predict(peak, use_flash=False):
     from representationlearning_tpu.models.tscd import TSCD
 
     batch = 8
+    # fused_blocks: whole-block pallas kernels on the non-exporting encoder
+    # blocks (ops/pallas/mit_block.py) — +12% measured over the XLA path
     model = TSCD(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16,
-                 use_flash=use_flash)
+                 use_flash=use_flash, fused_blocks=True)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
@@ -133,13 +135,12 @@ def bench_segformer_b1_predict(peak, use_flash=False):
     def fwd(v, x):
         return model.apply(v, x)[1].mean().astype(jnp.float32)
 
-    @partial(jax.jit, static_argnames="k")
+    # runtime-k fori_loop chain: ONE compile covers both k_short and k_long
+    # (the fused model compiles slowly; two static-k variants would double it)
+    @jax.jit
     def chained(v, x, k):
-        def body(carry, _):
-            return fwd(v, x + carry * 1e-12), None
-
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
-        return carry
+        return jax.lax.fori_loop(
+            0, k, lambda i, c: fwd(v, x + c * 1e-12), jnp.float32(0.0))
 
     def run(v, x, k):
         return float(chained(v, x, k))
@@ -173,13 +174,10 @@ def bench_wavecam_cams(peak):
         cam = jnp.maximum(c, 0) + jnp.maximum(cf, 0)[:, :, ::-1]
         return cam.mean().astype(jnp.float32)
 
-    @partial(jax.jit, static_argnames="k")
+    @jax.jit
     def chained(v, x, k):
-        def body(carry, _):
-            return cam_fwd(v, x + carry * 1e-12), None
-
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
-        return carry
+        return jax.lax.fori_loop(
+            0, k, lambda i, c: cam_fwd(v, x + c * 1e-12), jnp.float32(0.0))
 
     def run(v, x, k):
         return float(chained(v, x, k))
@@ -209,13 +207,10 @@ def bench_rssformer_predict(peak):
     def fwd(v, x):
         return model.apply(v, x).mean().astype(jnp.float32)
 
-    @partial(jax.jit, static_argnames="k")
+    @jax.jit
     def chained(v, x, k):
-        def body(carry, _):
-            return fwd(v, x + carry * 1e-12), None
-
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
-        return carry
+        return jax.lax.fori_loop(
+            0, k, lambda i, c: fwd(v, x + c * 1e-12), jnp.float32(0.0))
 
     def run(v, x, k):
         return float(chained(v, x, k))
@@ -253,13 +248,11 @@ def bench_scd_pseudo_labels(peak):
         label = CU.cam_to_label(cam, cls_label, bkg_score=0.45)
         return label.sum().astype(jnp.float32)
 
-    @partial(jax.jit, static_argnames="k")
+    @jax.jit
     def chained(x, cls_label, k):
-        def body(carry, _):
-            return pseudo(x + carry * 1e-12, cls_label) * 1e-9, None
-
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
-        return carry
+        return jax.lax.fori_loop(
+            0, k, lambda i, c: pseudo(x + c * 1e-12, cls_label) * 1e-9,
+            jnp.float32(0.0))
 
     def run(x, c, k):
         return float(chained(x, c, k))

@@ -44,6 +44,21 @@ def _mm(a, b, dtype):
                    preferred_element_type=jnp.float32)
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf approximation (max abs err 1.5e-7).
+    Mosaic has no erf lowering; this keeps the exact-GELU semantics within float
+    tolerance and is used in BOTH the kernel and the XLA reference path so the
+    two stay bit-comparable."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p_ = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p_ * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _block_math(x, p, *, H, W, sr, nh, dtype):
     """Shared fused-block math on (N, C) arrays (no batch dim). jnp ops only, so
     it runs identically inside the pallas kernel and as the XLA reference."""
@@ -55,10 +70,20 @@ def _block_math(x, p, *, H, W, sr, nh, dtype):
     q = _mm(h, p["q_kernel"], dtype) + p["q_bias"].astype(jnp.float32)
 
     if sr > 1:
-        # kernel==stride conv == non-overlapping patch matmul
-        hs = h.reshape(H // sr, sr, W // sr, sr, C).transpose(0, 2, 1, 3, 4)
-        hs = hs.reshape((H // sr) * (W // sr), sr * sr * C)
-        xs = _mm(hs, p["sr_kernel"].reshape(sr * sr * C, C), dtype)
+        # kernel==stride conv as a per-tap accumulation of (Nk, C) matmuls:
+        # xs[i, j] = sum_{ky, kx} h[i*sr+ky, j*sr+kx] @ W[ky, kx]. The single
+        # flattened patch matmul needs a lane-merging reshape ((.., sr, C) ->
+        # (.., sr*sr*C)) that Mosaic's layout inference rejects for C < 128;
+        # this form only ever splits/merges leading (non-lane) dims.
+        Hs, Ws = H // sr, W // sr
+        h5 = h.reshape(Hs, sr, Ws, sr, C)
+        srk = p["sr_kernel"]  # (sr, sr, C, C) HWIO
+        xs = None
+        for ky in range(sr):
+            for kx in range(sr):
+                term = h5[:, ky, :, kx, :].reshape(Hs * Ws, C)
+                acc_t = _mm(term, srk[ky, kx], dtype)
+                xs = acc_t if xs is None else xs + acc_t
         xs = xs + p["sr_bias"].astype(jnp.float32)
         xs = _ln(xs, p["srnorm_scale"], p["srnorm_bias"])
     else:
@@ -97,7 +122,7 @@ def _block_math(x, p, *, H, W, sr, nh, dtype):
             pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)), (0, 0))
             acc = acc + jnp.pad(src * dw[ky, kx], pad)
     f = (acc + p["dw_bias"].astype(jnp.float32)).reshape(N, hid)
-    f = 0.5 * f * (1.0 + jax.lax.erf(f * (2.0 ** -0.5)))           # exact GELU
+    f = 0.5 * f * (1.0 + _erf(f * (2.0 ** -0.5)))                  # exact GELU
     f = _mm(f, p["fc2_kernel"], dtype) + p["fc2_bias"].astype(jnp.float32)
     return y + f                                                   # residual 2
 
@@ -161,10 +186,25 @@ def fused_block_pallas(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
     )(x, *plist)
 
 
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _vmem_fits(N: int, C: int, hid: int, Nk: int) -> bool:
+    """Conservative per-program VMEM estimate: live activations (x, ln, q, attn
+    out, residuals ~5 N*C f32), FFN hidden x3 (pre/post dwconv, gelu), one
+    (N, Nk) score tile per head, plus slack."""
+    est = 5 * N * C * 4 + 3 * N * hid * 4 + N * Nk * 4
+    return est <= _VMEM_BUDGET
+
+
 def fused_block(x: jax.Array, p: Mapping[str, jax.Array], *, H: int, W: int,
                 sr: int, nh: int, dtype: Any = jnp.float32) -> jax.Array:
-    """Dispatcher: pallas kernel on TPU, XLA reference elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Dispatcher: pallas kernel on TPU when the geometry fits VMEM, XLA
+    reference elsewhere (CPU backends, oversized inputs)."""
+    B, N, C = x.shape
+    hid = p["fc1_kernel"].shape[1]
+    Nk = (H // sr) * (W // sr) if sr > 1 else N
+    if jax.default_backend() == "tpu" and _vmem_fits(N, C, hid, Nk):
         return fused_block_pallas(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype)
     return fused_block_reference(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype)
 
