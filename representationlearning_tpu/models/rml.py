@@ -47,12 +47,14 @@ class RMLModel(nn.Module):
     strides: tuple = (4, 2, 2, 1)
     pooling: str = "gmp"
     use_wave: bool = False  # PATM on stage-4 features (model_attn_aff WeTr variant)
+    fused_blocks: bool = False  # inference: fused pallas kernels (see models/mit.py)
     dtype: Any = jnp.float32
 
     def setup(self):
         cfg = dict(MIT_CONFIGS[self.backbone])
         self.encoder = MixVisionTransformer(
-            strides=self.strides, dtype=self.dtype, **cfg, name="encoder"
+            strides=self.strides, dtype=self.dtype,
+            fused_blocks=self.fused_blocks, **cfg, name="encoder"
         )
         self.neck = SimpleFusionNeck(self.seg_classes, name="neck")
         self.attn_proj = nn.Conv(1, (1, 1), use_bias=True, name="attn_proj")

@@ -85,12 +85,14 @@ class WeTrBaseline(nn.Module):
     embedding_dim: int = 256
     strides: tuple = (4, 2, 2, 1)
     pooling: str = "gmp"
+    fused_blocks: bool = False  # inference: fused pallas kernels (see models/mit.py)
     dtype: Any = jnp.float32
 
     def setup(self):
         cfg = dict(MIT_CONFIGS[self.backbone])
         self.encoder = MixVisionTransformer(
-            strides=self.strides, dtype=self.dtype, collect_attns=False, **cfg, name="encoder"
+            strides=self.strides, dtype=self.dtype, collect_attns=False,
+            fused_blocks=self.fused_blocks, **cfg, name="encoder"
         )
         self.decoder = SegFormerHead(
             num_classes=self.num_classes, embedding_dim=self.embedding_dim,
