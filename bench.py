@@ -146,7 +146,16 @@ def bench_segformer_b1_predict(peak, use_flash=False):
         return float(chained(v, x, k))
 
     sec = device_seconds_per_call(run, variables, x)
-    flops = flops_per_call(fwd, variables, x)
+    # count FLOPs on the mathematically-identical UNFUSED model: XLA's cost
+    # analysis reports 0 for the pallas custom-calls, which would understate the
+    # work (and overstate the A100 baseline) by ~40%
+    model_xla = TSCD(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16,
+                     use_flash=use_flash, fused_blocks=False)
+
+    def fwd_xla(v, x):
+        return model_xla.apply(v, x)[1].mean().astype(jnp.float32)
+
+    flops = flops_per_call(fwd_xla, variables, x)
     return _emit(
         "segformer_b1_512_tiles_per_sec_per_chip", batch / sec, "tiles/s",
         flops / batch if flops else None, ASSUMED_A100_INFER_MFU, peak,
