@@ -59,7 +59,7 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _block_math(x, p, *, H, W, sr, nh, dtype):
+def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps"):
     """Shared fused-block math on (N, C) arrays (no batch dim). jnp ops only, so
     it runs identically inside the pallas kernel and as the XLA reference."""
     N, C = x.shape
@@ -70,20 +70,26 @@ def _block_math(x, p, *, H, W, sr, nh, dtype):
     q = _mm(h, p["q_kernel"], dtype) + p["q_bias"].astype(jnp.float32)
 
     if sr > 1:
-        # kernel==stride conv as a per-tap accumulation of (Nk, C) matmuls:
-        # xs[i, j] = sum_{ky, kx} h[i*sr+ky, j*sr+kx] @ W[ky, kx]. The single
-        # flattened patch matmul needs a lane-merging reshape ((.., sr, C) ->
-        # (.., sr*sr*C)) that Mosaic's layout inference rejects for C < 128;
-        # this form only ever splits/merges leading (non-lane) dims.
+        # kernel==stride conv == non-overlapping patch matmul. Two formulations:
+        # - "patch": flatten (sr, sr, C) patches and do ONE matmul — fastest
+        #   under XLA, but the lane-merging reshape ((.., sr, C) -> sr*sr*C) is
+        #   rejected by Mosaic's layout inference for C < 128;
+        # - "taps": per-tap accumulation of sr^2 (Nk, C) matmuls — only ever
+        #   splits/merges leading (non-lane) dims, so it lowers in the kernel.
         Hs, Ws = H // sr, W // sr
-        h5 = h.reshape(Hs, sr, Ws, sr, C)
         srk = p["sr_kernel"]  # (sr, sr, C, C) HWIO
-        xs = None
-        for ky in range(sr):
-            for kx in range(sr):
-                term = h5[:, ky, :, kx, :].reshape(Hs * Ws, C)
-                acc_t = _mm(term, srk[ky, kx], dtype)
-                xs = acc_t if xs is None else xs + acc_t
+        if sr_mode == "patch":
+            hs = h.reshape(Hs, sr, Ws, sr, C).transpose(0, 2, 1, 3, 4)
+            hs = hs.reshape(Hs * Ws, sr * sr * C)
+            xs = _mm(hs, srk.reshape(sr * sr * C, C), dtype)
+        else:
+            h5 = h.reshape(Hs, sr, Ws, sr, C)
+            xs = None
+            for ky in range(sr):
+                for kx in range(sr):
+                    term = h5[:, ky, :, kx, :].reshape(Hs * Ws, C)
+                    acc_t = _mm(term, srk[ky, kx], dtype)
+                    xs = acc_t if xs is None else xs + acc_t
         xs = xs + p["sr_bias"].astype(jnp.float32)
         xs = _ln(xs, p["srnorm_scale"], p["srnorm_bias"])
     else:
@@ -145,7 +151,8 @@ def fused_block_reference(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
                           W: int, sr: int, nh: int,
                           dtype: Any = jnp.float32) -> jax.Array:
     """XLA reference: vmapped fused-block math over the batch dim."""
-    fn = functools.partial(_block_math, H=H, W=W, sr=sr, nh=nh, dtype=dtype)
+    fn = functools.partial(_block_math, H=H, W=W, sr=sr, nh=nh, dtype=dtype,
+                           sr_mode="patch")
     return jax.vmap(lambda xb: fn(xb, p))(x).astype(x.dtype)
 
 
