@@ -75,6 +75,12 @@ def main(argv=None):
     )
     model = TSCD(backbone=cfg.backbone.config, num_classes=cfg.dataset.num_classes,
                  strides=tuple(cfg.backbone.stride))
+    # evaluation runs a fused-kernel twin of the model (identical param tree —
+    # `models/mit.py::FusedBlock`): whole-block pallas kernels on TPU, same math
+    # on CPU; training keeps the standard differentiable blocks
+    model_eval = TSCD(backbone=cfg.backbone.config,
+                      num_classes=cfg.dataset.num_classes,
+                      strides=tuple(cfg.backbone.stride), fused_blocks=True)
 
     train_ds = VOC12ClsDataset(
         root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
@@ -106,7 +112,7 @@ def main(argv=None):
 
     state = M.replicate(mesh, state)
     step_fn = make_scd_train_step(model.apply, scd_cfg)
-    eval_fn = make_scd_eval_step(model.apply, scd_cfg)
+    eval_fn = make_scd_eval_step(model_eval.apply, scd_cfg)
 
     # scalar/image sink, the reference's TB writer (`dist_train_voc.py:250,393-413`)
     writer = MetricsWriter(os.path.join(cfg.work_dir.dir, "events"))

@@ -78,12 +78,15 @@ def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps"):
         #   splits/merges leading (non-lane) dims, so it lowers in the kernel.
         Hs, Ws = H // sr, W // sr
         srk = p["sr_kernel"]  # (sr, sr, C, C) HWIO
+        # VALID-stride conv semantics: rows/cols beyond the last full window are
+        # dropped (torch Conv2d with kernel==stride), so crop before patching
+        h2d = h.reshape(H, W, C)[: Hs * sr, : Ws * sr]
         if sr_mode == "patch":
-            hs = h.reshape(Hs, sr, Ws, sr, C).transpose(0, 2, 1, 3, 4)
+            hs = h2d.reshape(Hs, sr, Ws, sr, C).transpose(0, 2, 1, 3, 4)
             hs = hs.reshape(Hs * Ws, sr * sr * C)
             xs = _mm(hs, srk.reshape(sr * sr * C, C), dtype)
         else:
-            h5 = h.reshape(Hs, sr, Ws, sr, C)
+            h5 = h2d.reshape(Hs, sr, Ws, sr, C)
             xs = None
             for ky in range(sr):
                 for kx in range(sr):

@@ -151,8 +151,10 @@ def test_fused_mit_block_matches_block_all_stages():
         block_variables_to_fused, fused_block_pallas, fused_block_reference)
 
     rng = np.random.default_rng(0)
+    # includes NON-divisible grids (19 % 8, 13 % 4 != 0): the sr conv drops the
+    # remainder rows/cols (torch VALID-stride semantics)
     for (hw, C, sr, nh) in [(16, 64, 8, 1), (16, 128, 4, 2), (8, 320, 2, 5),
-                            (8, 512, 1, 8)]:
+                            (8, 512, 1, 8), (19, 64, 8, 1), (13, 128, 4, 2)]:
         tok = jnp.asarray(rng.standard_normal((2, hw * hw, C)), jnp.float32)
         blk = Block(C, nh, 4.0, sr, export_attn=False)
         v = blk.init(jax.random.PRNGKey(0), tok, hw, hw)
