@@ -14,7 +14,7 @@ from typing import Mapping
 import jax
 import jax.numpy as jnp
 
-from .wsss import cross_entropy_ignore
+from .wsss import cross_entropy_ignore, select_class
 
 
 def _valid(y_true, n_classes, ignore_index):
@@ -33,7 +33,7 @@ def softmax_focalloss(y_pred, y_true, gamma, ignore_index: int = -1):
     mod = (1.0 - p) * (1.0 - g / 7.0)
     valid = _valid(y_true, C, ignore_index)
     safe = jnp.where(valid, y_true, 0).astype(jnp.int32)
-    mod = jnp.take_along_axis(mod, safe[..., None], axis=-1)[..., 0]
+    mod = select_class(mod, safe)
     mod = jax.lax.stop_gradient(mod)
     return (ce * mod).sum() / (valid.sum() + B)
 
@@ -46,10 +46,10 @@ def softmax_focalloss_pow(y_pred, y_true, gamma: float = 2.0, ignore_index: int 
     valid = _valid(y_true, C, ignore_index)
     safe = jnp.where(valid, y_true, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(y_pred, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = -select_class(logp, safe)
     nll = jnp.where(valid, nll, 0.0)
     p = jax.lax.stop_gradient(jax.nn.softmax(y_pred, axis=-1))
-    mod = (1.0 - jnp.take_along_axis(p, safe[..., None], axis=-1)[..., 0]) ** gamma
+    mod = (1.0 - select_class(p, safe)) ** gamma
     mod = jax.lax.stop_gradient(jnp.where(valid, mod, 0.0))
     scale = 1.0
     if normalize:

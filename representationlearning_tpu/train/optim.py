@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Callable, Mapping
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 from flax import traverse_util
@@ -114,22 +115,48 @@ def make_poly_warmup_adamw(
     return tx
 
 
+def flatten_transform(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run `inner` on ONE raveled vector of the whole param tree.
+
+    A BN-heavy model (HRNetV2: ~400 norm layers, ~700 leaves) turns a leaf-wise
+    optimizer chain into thousands of 16-66 us device ops per step — profiled at
+    ~100 ms/step of f32[]/f32[32..256] traffic on the RSSFormer trainer. On the
+    flat vector, clip-by-global-norm is one reduction and SGD+momentum+decay are
+    three big elementwise ops; the ravel/unravel concat+split costs ~1 ms. The
+    math is identical (same elementwise updates, same global norm)."""
+    def init(params):
+        flat, _ = jax.flatten_util.ravel_pytree(params)
+        return inner.init(flat)
+
+    def update(grads, state, params=None):
+        gflat, unravel = jax.flatten_util.ravel_pytree(grads)
+        pflat = jax.flatten_util.ravel_pytree(params)[0] if params is not None else None
+        new_gflat, state = inner.update(gflat, state, pflat)
+        return unravel(new_gflat), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_sgd(
     learning_rate: float,
     weight_decay: float = 1e-4,
     momentum: float = 0.9,
     schedule: Callable | None = None,
     grad_clip_norm: float | None = None,
+    flat: bool = True,
 ) -> optax.GradientTransformation:
     """SGD+momentum with decoupled-from-nothing (torch-style L2) weight decay
-    (RSSFormer `configs/base/loveda.py:63-67`, grad_clip 35 `:74-77`)."""
+    (RSSFormer `configs/base/loveda.py:63-67`, grad_clip 35 `:74-77`).
+    `flat=True` applies the chain to the raveled param vector (same math, far
+    fewer device ops — see `flatten_transform`)."""
     parts = []
     if grad_clip_norm is not None:
         parts.append(optax.clip_by_global_norm(grad_clip_norm))
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.sgd(schedule or learning_rate, momentum=momentum))
-    return optax.chain(*parts)
+    chain = optax.chain(*parts)
+    return flatten_transform(chain) if flat else chain
 
 
 def sgdr_schedule(base_lr: float, steps_per_epoch: int, epoch_start: int = 1,
