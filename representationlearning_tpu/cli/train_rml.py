@@ -17,6 +17,7 @@ import numpy as np
 
 from ..core.config import Config, load_yaml
 from ..core.logging import AverageMeter, Timer, setup_logger
+from ..data.prefetch import ThreadedLoader
 from ..data.voc import BatchLoader, VOC12ClsDataset
 from ..models.rml import RMLModel
 from ..parallel import mesh as M
@@ -90,7 +91,8 @@ def main(argv=None):
     state = M.replicate(mesh, state)
 
     step_fn = make_rml_train_step(model.apply, rml_cfg)
-    loader = iter(BatchLoader(ds, global_batch, seed=cfg.seed))
+    loader = iter(ThreadedLoader(BatchLoader(ds, global_batch, seed=cfg.seed),
+                                 depth=4))
     meter = AverageMeter()
     timer = Timer(cfg.train.max_iters)
     start = int(state.step)
