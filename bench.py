@@ -368,32 +368,82 @@ def bench_rml_train(peak):
     )
 
 
+BENCHES = {
+    "wavecam_cams": (bench_wavecam_cams, "wavecam_resnet50_cams_per_sec_per_chip"),
+    "rssformer_predict": (
+        bench_rssformer_predict, "rssformer_w32_512_predict_tiles_per_sec_per_chip"),
+    "scd_pseudo_labels": (
+        bench_scd_pseudo_labels, "scd_pseudo_label_images_per_sec_per_chip"),
+    "rssformer_train": (
+        bench_rssformer_train, "rssformer_w32_512_train_images_per_sec_per_chip"),
+    "rml_train": (bench_rml_train, "rml_mitb1_320_train_images_per_sec_per_chip"),
+    "segformer_b1": (
+        bench_segformer_b1_predict, "segformer_b1_512_tiles_per_sec_per_chip"),
+}
+# headline LAST (last-line parser). Order also matters for failure isolation: each
+# name runs in its OWN subprocess (round-2 lesson: all six in one process let an
+# early RESOURCE_EXHAUSTED poison the later configs, zeroing the headline).
+BENCH_ORDER = [
+    "wavecam_cams", "rssformer_predict", "scd_pseudo_labels",
+    "rssformer_train", "rml_train", "segformer_b1",
+]
+
+
+def run_one(name):
+    """Child-process entry: run a single bench config and print its JSON line."""
+    fn, metric = BENCHES[name]
+    try:
+        fn(peak_tflops_per_chip())
+    except Exception as e:
+        print(json.dumps({
+            "metric": metric, "value": 0.0, "unit": "error", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }), flush=True)
+
+
 def main():
-    peak = peak_tflops_per_chip()
-    benches = [
-        bench_wavecam_cams,
-        bench_rssformer_predict,
-        bench_scd_pseudo_labels,
-        bench_rssformer_train,
-        bench_rml_train,
-        bench_segformer_b1_predict,  # headline LAST (last-line parser)
-    ]
-    for b in benches:
+    """Parent: fork one subprocess per config BEFORE any TPU allocation (this
+    process never imports jax), so an OOM in one config cannot fragment or
+    exhaust HBM for the rest. Relays each child's JSON line; headline last."""
+    import subprocess
+    import sys
+
+    for name in BENCH_ORDER:
+        fn, metric = BENCHES[name]
+        line = None
         try:
-            b(peak)
-        except Exception as e:  # one failing aux bench must not kill the headline
-            if b is bench_segformer_b1_predict:
-                print(json.dumps({
-                    "metric": "segformer_b1_512_tiles_per_sec_per_chip", "value": 0.0,
-                    "unit": "error", "vs_baseline": 0.0,
-                    "error": f"{type(e).__name__}: {e}"[:300],
-                }), flush=True)
-            else:
-                print(json.dumps({
-                    "metric": b.__name__, "value": 0.0, "unit": "error",
-                    "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e}"[:300],
-                }), flush=True)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--one", name],
+                capture_output=True, text=True, timeout=1800,
+            )
+            # last stdout line that parses as a {"metric": ...} record
+            for cand in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    rec = json.loads(cand)
+                    if isinstance(rec, dict) and "metric" in rec:
+                        line = cand
+                        break
+                except (json.JSONDecodeError, ValueError):
+                    continue
+            if line is None:
+                err = (proc.stderr or "").strip().splitlines()
+                line = json.dumps({
+                    "metric": metric, "value": 0.0, "unit": "error",
+                    "vs_baseline": 0.0,
+                    "error": (f"exit={proc.returncode} " + " | ".join(err[-3:]))[:300],
+                })
+        except subprocess.TimeoutExpired:
+            line = json.dumps({
+                "metric": metric, "value": 0.0, "unit": "error",
+                "vs_baseline": 0.0, "error": "timeout after 1800s",
+            })
+        print(line, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        run_one(sys.argv[2])
+    else:
+        main()

@@ -141,10 +141,12 @@ def main(argv=None):
         if (n_iter + 1) % cfg.train.eval_iters == 0 or n_iter + 1 == cfg.train.max_iters:
             CK.save(ckpt_dir, n_iter + 1, state)
             scores = validate(model, state.variables, val_ds, eval_fn, scd_cfg)
-            log.info("validate @%d: seg_miou=%.4f cam_miou=%.4f",
-                     n_iter + 1, scores["seg"]["miou"], scores["cam"]["miou"])
+            log.info("validate @%d: seg_miou=%.4f cam_miou=%.4f ref_miou=%.4f",
+                     n_iter + 1, scores["seg"]["miou"], scores["cam"]["miou"],
+                     scores["ref"]["miou"])
             writer.add_scalar("val/seg_miou", scores["seg"]["miou"], n_iter + 1)
             writer.add_scalar("val/cam_miou", scores["cam"]["miou"], n_iter + 1)
+            writer.add_scalar("val/ref_miou", scores["ref"]["miou"], n_iter + 1)
             _write_val_images(writer, model, state.variables, val_ds, eval_fn, n_iter + 1)
             writer.flush()
     writer.close()
@@ -174,15 +176,20 @@ def _write_val_images(writer, model, variables, val_ds, eval_fn, step,
 
 
 def validate(model, variables, val_ds, eval_fn, scd_cfg, max_samples: int = 64):
+    """Three score streams like the reference validate (`dist_train_voc.py:122-147`):
+    seg preds, CAM pseudo labels, and affinity-propagated ref labels."""
     seg_acc = SegMetricAccumulator(scd_cfg.num_classes)
     cam_acc = SegMetricAccumulator(scd_cfg.num_classes)
+    ref_acc = SegMetricAccumulator(scd_cfg.num_classes)
     for i in range(min(len(val_ds), max_samples)):
         _, img, label, cls_label = val_ds[i]
         out = eval_fn(variables, {"image": jnp.asarray(img)[None],
                                   "cls_label": jnp.asarray(cls_label)[None]})
         seg_acc.update(label[None], np.asarray(out["seg_pred"]))
         cam_acc.update(label[None], np.asarray(out["cam_label"]))
-    return {"seg": seg_acc.compute(), "cam": cam_acc.compute()}
+        ref_acc.update(label[None], np.asarray(out["ref_label"]))
+    return {"seg": seg_acc.compute(), "cam": cam_acc.compute(),
+            "ref": ref_acc.compute()}
 
 
 if __name__ == "__main__":

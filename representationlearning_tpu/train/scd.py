@@ -175,9 +175,15 @@ def make_scd_train_step(apply_fn, cfg: SCDConfig):
     return train_step
 
 
+def _down_size(h: int, stride: int = 16) -> int:
+    """`dist_train_voc.py:89-93` get_down_size: feature-grid extent at stride 16."""
+    return h // stride + 1 - (h % stride == 0)
+
+
 def make_scd_eval_step(apply_fn, cfg: SCDConfig):
     """Validation forward (`dist_train_voc.py:95-146`): seg argmax + multi-scale CAM
-    pseudo labels (returns device arrays; metric accumulation happens outside)."""
+    pseudo labels + affinity-propagated "ref" labels (the reference's third score
+    stream, `:122-142`). Returns device arrays; metric accumulation happens outside."""
 
     @jax.jit
     def eval_step(variables, batch):
@@ -189,9 +195,19 @@ def make_scd_eval_step(apply_fn, cfg: SCDConfig):
         cam_fn = lambda x: apply_fn(variables, x, cam_only=True)
         cams = CU.multi_scale_cam(cam_fn, inputs, cfg.cam_scales)
         cam_label = CU.cam_to_label(cams, cls_labels, img_box=None, bkg_score=cfg.bkg_score)
+        # ref stream (`:122-130`): raw (un-class-masked) CAM down to the stride-16
+        # grid, random-walked through the predicted affinity under a radius mask,
+        # bkg_score hard-coded 0.35 in the reference call
+        h16, w16 = _down_size(H), _down_size(W)
+        infer_mask = jnp.asarray(CU.get_mask_by_radius(h16, w16, cfg.attn_radius))
+        cam16 = resize_bilinear(cams, (h16, w16), align_corners=False)
+        ref_cam = CU.propagate_ref_cam_with_bkg(
+            cam16, attn_pred, cls_labels, bkg_score=0.35, mask=infer_mask)
+        ref_cam = resize_bilinear(ref_cam, (H, W), align_corners=False)
         return {
             "seg_pred": segs_up.argmax(-1),
             "cam_label": cam_label,
+            "ref_label": ref_cam.argmax(-1),
             "cls_pred": (cls_logits > 0).astype(jnp.int32),
         }
 

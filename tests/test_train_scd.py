@@ -79,6 +79,11 @@ def test_scd_eval_step_shapes():
     out = eval_fn(variables, {"image": x, "cls_label": jnp.ones((2, 3))})
     assert out["seg_pred"].shape == (2, 64, 64)
     assert out["cam_label"].shape == (2, 64, 64)
+    # the affinity-propagated "ref" stream (`dist_train_voc.py:122-142`): labels in
+    # [0, num_classes), background reachable (bkg channel 0 concatenated at 0.35)
+    assert out["ref_label"].shape == (2, 64, 64)
+    ref = np.asarray(out["ref_label"])
+    assert ref.min() >= 0 and ref.max() < cfg.num_classes
 
 
 def test_param_labels_cover_all_groups():
