@@ -43,18 +43,20 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     has_downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = TorchConv(self.planes, (3, 3), stride=(self.stride, self.stride),
-                        padding=(1, 1), use_bias=False, name="conv1")(x)
+                        padding=(1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = _bn(train, "bn1")(out)
         out = nn.relu(out)
-        out = TorchConv(self.planes, (3, 3), padding=(1, 1), use_bias=False, name="conv2")(out)
+        out = TorchConv(self.planes, (3, 3), padding=(1, 1), use_bias=False,
+                        dtype=self.dtype, name="conv2")(out)
         out = _bn(train, "bn2")(out)
         if self.has_downsample:
             res = TorchConv(self.planes, (1, 1), stride=(self.stride, self.stride),
-                            use_bias=False, name="downsample_conv")(x)
+                            use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
             res = _bn(train, "downsample_bn")(res)
         else:
             res = x
@@ -65,21 +67,22 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     has_downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = TorchConv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = TorchConv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = _bn(train, "bn1")(out)
         out = nn.relu(out)
         out = TorchConv(self.planes, (3, 3), stride=(self.stride, self.stride),
-                        padding=(1, 1), use_bias=False, name="conv2")(out)
+                        padding=(1, 1), use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = _bn(train, "bn2")(out)
         out = nn.relu(out)
-        out = TorchConv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = TorchConv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
         out = _bn(train, "bn3")(out)
         if self.has_downsample:
             res = TorchConv(self.planes * 4, (1, 1), stride=(self.stride, self.stride),
-                            use_bias=False, name="downsample_conv")(x)
+                            use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
             res = _bn(train, "downsample_bn")(res)
         else:
             res = x
@@ -93,10 +96,11 @@ class FuseUp(nn.Module):
 
     out_ch: int
     target: tuple
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = TorchConv(self.out_ch, (1, 1), use_bias=False, name="conv")(x)
+        x = TorchConv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv")(x)
         x = _bn(train, "bn")(x)
         return resize_nearest(x, self.target)
 
@@ -107,6 +111,7 @@ class FuseDown(nn.Module):
     mid_ch: int
     out_ch: int
     steps: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -114,7 +119,7 @@ class FuseDown(nn.Module):
             last = k == self.steps - 1
             ch = self.out_ch if last else self.mid_ch
             x = TorchConv(ch, (3, 3), stride=(2, 2), padding=(1, 1),
-                          use_bias=False, name=f"conv{k}")(x)
+                          use_bias=False, dtype=self.dtype, name=f"conv{k}")(x)
             x = _bn(train, f"bn{k}")(x)
             if not last:
                 x = nn.relu(x)
@@ -135,14 +140,15 @@ class HighResolutionModule(nn.Module):
         if nb == 1:
             x = xs[0]
             for b in range(self.num_blocks):
-                x = BasicBlock(self.channels[0], name=f"branch0_block{b}")(x, train)
+                x = BasicBlock(self.channels[0], dtype=self.dtype,
+                               name=f"branch0_block{b}")(x, train)
             return [x]
 
         xs = list(xs)
         for i in range(nb):
             for b in range(self.num_blocks):
                 ds = xs[i].shape[-1] != self.channels[i] and b == 0
-                xs[i] = BasicBlock(self.channels[i], has_downsample=ds,
+                xs[i] = BasicBlock(self.channels[i], has_downsample=ds, dtype=self.dtype,
                                    name=f"branch{i}_block{b}")(xs[i], train)
 
         n_out = nb if self.multi_scale_output else 1
@@ -150,7 +156,7 @@ class HighResolutionModule(nn.Module):
         for i in range(n_out):
             # y: identity branch contribution; low: sum of the other branches
             y = xs[0] if i == 0 else FuseDown(
-                self.channels[0], self.channels[i], i, name=f"fuse{i}_0"
+                self.channels[0], self.channels[i], i, dtype=self.dtype, name=f"fuse{i}_0"
             )(xs[0], train)
             low = None
             for j in range(1, nb):
@@ -158,10 +164,11 @@ class HighResolutionModule(nn.Module):
                     t = xs[j]
                 elif j > i:
                     tgt = (xs[i].shape[1], xs[i].shape[2])
-                    t = FuseUp(self.channels[i], tgt, name=f"fuse{i}_{j}")(xs[j], train)
+                    t = FuseUp(self.channels[i], tgt, dtype=self.dtype,
+                               name=f"fuse{i}_{j}")(xs[j], train)
                 else:
                     t = FuseDown(self.channels[j], self.channels[i], i - j,
-                                 name=f"fuse{i}_{j}")(xs[j], train)
+                                 dtype=self.dtype, name=f"fuse{i}_{j}")(xs[j], train)
                 low = t if low is None else low + t
             if i == 0 and self.with_transformer:
                 y = GeneralTransformerBlock(self.channels[0], num_heads=2,
@@ -177,6 +184,7 @@ class Transition(nn.Module):
 
     prev_channels: Sequence[int]
     cur_channels: Sequence[int]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -186,7 +194,7 @@ class Transition(nn.Module):
             if i < n_pre:
                 if self.cur_channels[i] != self.prev_channels[i]:
                     h = TorchConv(self.cur_channels[i], (3, 3), padding=(1, 1),
-                                  use_bias=False, name=f"t{i}_conv")(xs[i])
+                                  use_bias=False, dtype=self.dtype, name=f"t{i}_conv")(xs[i])
                     h = _bn(train, f"t{i}_bn")(h)
                     outs.append(nn.relu(h))
                 else:
@@ -197,7 +205,7 @@ class Transition(nn.Module):
                     last = j == i - n_pre
                     ch = self.cur_channels[i] if last else self.prev_channels[-1]
                     h = TorchConv(ch, (3, 3), stride=(2, 2), padding=(1, 1),
-                                  use_bias=False, name=f"t{i}_conv{j}")(h)
+                                  use_bias=False, dtype=self.dtype, name=f"t{i}_conv{j}")(h)
                     h = _bn(train, f"t{i}_bn{j}")(h)
                     h = nn.relu(h)
                 outs.append(h)
@@ -214,16 +222,19 @@ class HighResolutionNet(nn.Module):
         widths = HRNET_EXTRA[self.hrnet_type]["widths"]
 
         # stem: two stride-2 3x3 convs
-        x = TorchConv(64, (3, 3), stride=(2, 2), padding=(1, 1), use_bias=False, name="conv1")(x)
+        x = TorchConv(64, (3, 3), stride=(2, 2), padding=(1, 1), use_bias=False,
+                      dtype=self.dtype, name="conv1")(x)
         x = _bn(train, "bn1")(x)
         x = nn.relu(x)
-        x = TorchConv(64, (3, 3), stride=(2, 2), padding=(1, 1), use_bias=False, name="conv2")(x)
+        x = TorchConv(64, (3, 3), stride=(2, 2), padding=(1, 1), use_bias=False,
+                      dtype=self.dtype, name="conv2")(x)
         x = _bn(train, "bn2")(x)
         x = nn.relu(x)
 
         # stage 1: 4 bottlenecks at 64 planes -> 256 channels
         for b in range(4):
-            x = Bottleneck(64, has_downsample=(b == 0), name=f"layer1_{b}")(x, train)
+            x = Bottleneck(64, has_downsample=(b == 0), dtype=self.dtype,
+                           name=f"layer1_{b}")(x, train)
         feats = [x]
         prev = (256,)
 
@@ -231,7 +242,8 @@ class HighResolutionNet(nn.Module):
             zip(STAGE_MODULES[1:], STAGE_BRANCHES[1:]), start=2
         ):
             cur = tuple(widths[:n_branches])
-            feats = Transition(prev, cur, name=f"transition{stage - 1}")(feats, train)
+            feats = Transition(prev, cur, dtype=self.dtype,
+                               name=f"transition{stage - 1}")(feats, train)
             for m in range(n_modules):
                 feats = HighResolutionModule(
                     n_branches, cur, STAGE_BLOCKS,

@@ -64,10 +64,14 @@ def TorchConv(
     groups: int = 1,
     use_bias: bool = True,
     kernel_init: Callable | None = None,
+    dtype=None,
     name: str | None = None,
 ) -> nn.Conv:
     """2-D conv on NHWC with integer padding semantics of torch nn.Conv2d.
-    Returns a plain nn.Conv so checkpoint paths stay flat (<name>/kernel)."""
+    Returns a plain nn.Conv so checkpoint paths stay flat (<name>/kernel).
+    `dtype=bfloat16` casts input+kernel for the MXU (f32 internal accumulation,
+    torch-AMP-equivalent — the reference trains RSSFormer under AMP,
+    `RSSFormer-TIP2023/train.py:79`); params stay f32."""
     return nn.Conv(
         features=features,
         kernel_size=kernel_size,
@@ -77,6 +81,7 @@ def TorchConv(
         feature_group_count=groups,
         use_bias=use_bias,
         kernel_init=kernel_init or fan_out_conv_init(),
+        dtype=dtype,
         name=name,
     )
 

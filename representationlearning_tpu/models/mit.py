@@ -248,8 +248,10 @@ class FusedBlock(nn.Module):
     converters are interchangeable) but whose forward runs as ONE fused pallas
     kernel on TPU (`ops/pallas/mit_block.py`) — LN, SR-attention, residuals,
     MixFFN incl. the 3x3 depthwise conv all VMEM-resident. CPU backends take the
-    identical-math XLA reference path. Deterministic-only (no dropout/drop-path),
-    export_attn must be False."""
+    identical-math XLA reference path. Deterministic-only (no dropout/drop-path).
+    export_attn is supported for sr == 1 blocks (the stage-4 affinity exporters,
+    `mix_transformer.py:123-133`): a second kernel output carries the raw
+    pre-scale attention logits (B, nh, N, N)."""
 
     dim: int
     num_heads: int
@@ -265,10 +267,13 @@ class FusedBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, H, W, deterministic: bool = True):
-        if not deterministic or self.export_attn:
-            raise ValueError("FusedBlock is inference-only (deterministic, no "
-                             "attention export); build the model with "
-                             "fused_blocks=False for training/export paths")
+        if not deterministic:
+            raise ValueError("FusedBlock is inference-only (deterministic); "
+                             "build the model with fused_blocks=False for "
+                             "training paths")
+        if self.export_attn and self.sr_ratio != 1:
+            raise ValueError("FusedBlock attention export requires sr == 1; "
+                             "use Block for exporting sr > 1 blocks")
         from ..ops.pallas.mit_block import fused_block
 
         p = {}
@@ -277,9 +282,9 @@ class FusedBlock(nn.Module):
         p["ln2_scale"], p["ln2_bias"] = _LNParams(self.dim, name="norm2")()
         p.update(_FusedMlpParams(self.dim, int(self.dim * self.mlp_ratio),
                                  name="mlp")())
-        out = fused_block(x, p, H=H, W=W, sr=self.sr_ratio, nh=self.num_heads,
-                          dtype=self.dtype)
-        return out, None
+        res = fused_block(x, p, H=H, W=W, sr=self.sr_ratio, nh=self.num_heads,
+                          dtype=self.dtype, export=self.export_attn)
+        return res if self.export_attn else (res, None)
 
 
 class OverlapPatchEmbed(nn.Module):
@@ -353,7 +358,7 @@ class MixVisionTransformer(nn.Module):
                 )
                 if self.remat:
                     block_cls = nn.remat(Block, static_argnums=(2, 3, 4))
-                elif self.fused_blocks and not want:
+                elif self.fused_blocks and (not want or self.sr_ratios[s] == 1):
                     block_cls = FusedBlock
                 else:
                     block_cls = Block

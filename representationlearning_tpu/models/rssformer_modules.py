@@ -81,12 +81,22 @@ class Mhca(nn.Module):
     (`DAL.py:676-1030`): q scaled by head_dim^-0.5 before the product, plus the DAL
     channel gate (`DAL.py:1005-1016`): the attention output is multiplied by a
     per-(batch, head) scalar sigmoid(mean(q^T k) + max(q^T k)) computed from the
-    token-summed head_dim x head_dim correlation of the (scaled) q and k."""
+    token-summed head_dim x head_dim correlation of the (scaled) q and k.
+
+    `fused=True` routes the attention core — scores, softmax, gate, weighted
+    sum — through the VMEM-resident pallas kernel (`ops/pallas/isa_attention.py`)
+    whenever dropout is inactive and q/k token counts match; param tree is
+    unchanged. Default False: at the shipped 7x7-window shapes (49 tokens,
+    C=32) XLA's batched-matmul lowering measured 5.7x FASTER than the kernel
+    (0.13 vs 0.76 ms for the 512^2 predict's 1444-window core — the window
+    attention is NOT where the HRNetFusion time goes; see PERF.md round 3).
+    The kernel remains a memory lever for large-window variants."""
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
     use_bias: bool = True
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -98,6 +108,12 @@ class Mhca(nn.Module):
         q = nn.Dense(C, use_bias=self.use_bias, name="q_proj")(query) * scaling
         k = nn.Dense(C, use_bias=self.use_bias, name="k_proj")(key)
         v = nn.Dense(C, use_bias=self.use_bias, name="v_proj")(value)
+        if (self.fused and key.shape[1] == S
+                and (deterministic or self.dropout == 0.0)):
+            from ..ops.pallas.isa_attention import isa_attention_core
+
+            out = isa_attention_core(q, k, v, nh, self.dtype)
+            return nn.Dense(C, name="out_proj")(out)
         q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, -1, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, -1, nh, hd).transpose(0, 2, 1, 3)
@@ -179,16 +195,18 @@ class MlpDWBN(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, name=name)(v)
 
-        h = TorchConv(self.hidden_features, (1, 1), name="fc1")(h)
+        h = TorchConv(self.hidden_features, (1, 1), dtype=self.dtype, name="fc1")(h)
         h = bn(h, "norm1")
         h = nn.gelu(h, approximate=False)
-        b1 = TorchConv(self.hidden_features, (1, 1), name="dw")(h)
-        b6 = TorchConv(self.hidden_features, (3, 3), padding=(6, 6), dilation=(6, 6), name="dw6")(h)
-        b12 = TorchConv(self.hidden_features, (3, 3), padding=(12, 12), dilation=(12, 12), name="dw12")(h)
+        b1 = TorchConv(self.hidden_features, (1, 1), dtype=self.dtype, name="dw")(h)
+        b6 = TorchConv(self.hidden_features, (3, 3), padding=(6, 6), dilation=(6, 6),
+                       dtype=self.dtype, name="dw6")(h)
+        b12 = TorchConv(self.hidden_features, (3, 3), padding=(12, 12), dilation=(12, 12),
+                        dtype=self.dtype, name="dw12")(h)
         h = b1 + b6 + b12
         h = bn(h, "norm2")
         h = nn.gelu(h, approximate=False)
-        h = TorchConv(self.out_features, (1, 1), name="fc2")(h)
+        h = TorchConv(self.out_features, (1, 1), dtype=self.dtype, name="fc2")(h)
         h = bn(h, "norm3")
         h = nn.gelu(h, approximate=False)
         return h.reshape(B, N, self.out_features)

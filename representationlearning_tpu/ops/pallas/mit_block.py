@@ -59,9 +59,12 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps"):
+def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps", export=False):
     """Shared fused-block math on (N, C) arrays (no batch dim). jnp ops only, so
-    it runs identically inside the pallas kernel and as the XLA reference."""
+    it runs identically inside the pallas kernel and as the XLA reference.
+    With export=True (requires sr == 1) also returns the raw pre-scale attention
+    logits (nh, N, N) — the affinity maps the TSCD head consumes
+    (`mix_transformer.py:123-133`; no query pooling needed at sr == 1)."""
     N, C = x.shape
     hd = C // nh
     scale = hd ** -0.5
@@ -104,10 +107,13 @@ def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps"):
     k = kv[:, :C]
     v = kv[:, C:]
 
-    outs = []
+    outs, logits = [], []
     for head in range(nh):
         sl = slice(head * hd, (head + 1) * hd)
-        s = _mm(q[:, sl], k[:, sl].T, dtype) * scale               # (N, Nk) f32
+        s_raw = _mm(q[:, sl], k[:, sl].T, dtype)                   # (N, Nk) f32
+        if export:
+            logits.append(s_raw)
+        s = s_raw * scale
         m = s.max(axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         a = e / e.sum(axis=-1, keepdims=True)
@@ -133,7 +139,10 @@ def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps"):
     f = (acc + p["dw_bias"].astype(jnp.float32)).reshape(N, hid)
     f = 0.5 * f * (1.0 + _erf(f * (2.0 ** -0.5)))                  # exact GELU
     f = _mm(f, p["fc2_kernel"], dtype) + p["fc2_bias"].astype(jnp.float32)
-    return y + f                                                   # residual 2
+    out = y + f                                                    # residual 2
+    if export:
+        return out, jnp.stack(logits, axis=0)                      # (nh, N, Nk)
+    return out
 
 
 _PARAM_KEYS = (
@@ -151,26 +160,37 @@ def _param_list(p: Mapping[str, jax.Array], sr: int):
 
 
 def fused_block_reference(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
-                          W: int, sr: int, nh: int,
-                          dtype: Any = jnp.float32) -> jax.Array:
+                          W: int, sr: int, nh: int, dtype: Any = jnp.float32,
+                          export: bool = False):
     """XLA reference: vmapped fused-block math over the batch dim."""
     fn = functools.partial(_block_math, H=H, W=W, sr=sr, nh=nh, dtype=dtype,
-                           sr_mode="patch")
+                           sr_mode="patch", export=export)
+    if export:
+        out, attn = jax.vmap(lambda xb: fn(xb, p))(x)
+        return out.astype(x.dtype), attn
     return jax.vmap(lambda xb: fn(xb, p))(x).astype(x.dtype)
 
 
-def _kernel(*refs, keys, H, W, sr, nh, dtype):
-    x_ref, out_ref = refs[0], refs[-1]
-    p = {k: r[...] for k, r in zip(keys, refs[1:-1])}
-    out_ref[0] = _block_math(
-        x_ref[0], p, H=H, W=W, sr=sr, nh=nh, dtype=dtype
-    ).astype(out_ref.dtype)
+def _kernel(*refs, keys, H, W, sr, nh, dtype, export):
+    n_out = 2 if export else 1
+    x_ref = refs[0]
+    p = {k: r[...] for k, r in zip(keys, refs[1 : len(refs) - n_out])}
+    res = _block_math(x_ref[0], p, H=H, W=W, sr=sr, nh=nh, dtype=dtype,
+                      export=export)
+    if export:
+        out_ref, attn_ref = refs[-2], refs[-1]
+        out_ref[0] = res[0].astype(out_ref.dtype)
+        attn_ref[0] = res[1].astype(attn_ref.dtype)
+    else:
+        refs[-1][0] = res.astype(refs[-1].dtype)
 
 
 def fused_block_pallas(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
                        W: int, sr: int, nh: int, dtype: Any = jnp.float32,
-                       interpret: bool | None = None) -> jax.Array:
-    """Whole-block pallas kernel: grid over batch, everything VMEM-resident."""
+                       export: bool = False, interpret: bool | None = None):
+    """Whole-block pallas kernel: grid over batch, everything VMEM-resident.
+    With export=True (sr == 1 only) a second output carries the raw attention
+    logits (B, nh, N, N) in f32."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, N, C = x.shape
@@ -182,14 +202,24 @@ def fused_block_pallas(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
         in_specs.append(pl.BlockSpec(arr.shape, lambda b, n=arr.ndim: (0,) * n,
                                      memory_space=pltpu.VMEM))
 
+    out_specs = pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, N, C), x.dtype)
+    if export:
+        assert sr == 1, "attention export from the kernel requires sr == 1"
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, nh, N, N), lambda b: (b, 0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, nh, N, N), jnp.float32))
+
     return pl.pallas_call(
         functools.partial(_kernel, keys=tuple(keys), H=H, W=W, sr=sr, nh=nh,
-                          dtype=dtype),
+                          dtype=dtype, export=export),
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
@@ -199,24 +229,33 @@ def fused_block_pallas(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
 _VMEM_BUDGET = 100 * 1024 * 1024
 
 
-def _vmem_fits(N: int, C: int, hid: int, Nk: int) -> bool:
+def _vmem_fits(N: int, C: int, hid: int, Nk: int, nh: int = 0,
+               export: bool = False) -> bool:
     """Conservative per-program VMEM estimate: live activations (x, ln, q, attn
     out, residuals ~5 N*C f32), FFN hidden x3 (pre/post dwconv, gelu), one
-    (N, Nk) score tile per head, plus slack."""
+    (N, Nk) score tile per head, the exported (nh, N, N) logit stack when
+    exporting, plus slack."""
     est = 5 * N * C * 4 + 3 * N * hid * 4 + N * Nk * 4
+    if export:
+        est += nh * N * Nk * 4
     return est <= _VMEM_BUDGET
 
 
 def fused_block(x: jax.Array, p: Mapping[str, jax.Array], *, H: int, W: int,
-                sr: int, nh: int, dtype: Any = jnp.float32) -> jax.Array:
+                sr: int, nh: int, dtype: Any = jnp.float32,
+                export: bool = False):
     """Dispatcher: pallas kernel on TPU when the geometry fits VMEM, XLA
     reference elsewhere (CPU backends, oversized inputs)."""
     B, N, C = x.shape
     hid = p["fc1_kernel"].shape[1]
     Nk = (H // sr) * (W // sr) if sr > 1 else N
-    if jax.default_backend() == "tpu" and _vmem_fits(N, C, hid, Nk):
-        return fused_block_pallas(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype)
-    return fused_block_reference(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype)
+    if (jax.default_backend() == "tpu"
+            and _vmem_fits(N, C, hid, Nk, nh, export)
+            and (not export or sr == 1)):
+        return fused_block_pallas(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype,
+                                  export=export)
+    return fused_block_reference(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype,
+                                 export=export)
 
 
 def block_variables_to_fused(bp: Mapping[str, Any]) -> dict:

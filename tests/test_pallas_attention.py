@@ -166,6 +166,30 @@ def test_fused_mit_block_matches_block_all_stages():
         np.testing.assert_allclose(np.asarray(gotk), np.asarray(want), atol=2e-5)
 
 
+def test_fused_mit_block_attention_export_matches_block():
+    """Export variant (sr == 1, the stage-4 affinity exporters): output AND the
+    raw pre-scale attention logits match `Block(export_attn=True)` in both the
+    XLA reference path and the kernel (interpret mode)."""
+    from representationlearning_tpu.models.mit import Block
+    from representationlearning_tpu.ops.pallas.mit_block import (
+        block_variables_to_fused, fused_block_pallas, fused_block_reference)
+
+    rng = np.random.default_rng(3)
+    hw, C, nh = 8, 512, 8
+    tok = jnp.asarray(rng.standard_normal((2, hw * hw, C)), jnp.float32)
+    blk = Block(C, nh, 4.0, 1, export_attn=True)
+    v = blk.init(jax.random.PRNGKey(0), tok, hw, hw)
+    want, want_attn = blk.apply(v, tok, hw, hw)
+    p = block_variables_to_fused(v["params"])
+    got, attn = fused_block_reference(tok, p, H=hw, W=hw, sr=1, nh=nh, export=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(want_attn), atol=2e-4)
+    gotk, attnk = fused_block_pallas(tok, p, H=hw, W=hw, sr=1, nh=nh,
+                                     export=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(gotk), np.asarray(want), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(attnk), np.asarray(want_attn), atol=2e-4)
+
+
 def test_tscd_fused_blocks_same_params_same_outputs():
     """TSCD(fused_blocks=True) has an IDENTICAL param tree to the standard model
     (checkpoints interchangeable) and produces the same outputs on shared params."""
