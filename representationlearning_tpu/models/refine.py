@@ -181,14 +181,20 @@ def par_variant_refine(
     - norm: "std" -> |diff|/(std+eps)/w1 (PAR1/PAR2*/PAR3*), "w1" -> |diff|/w1
       (PAR1a), "bare" -> |diff| (PAR1b)
     - extra: "none" (PAR1 family), "pos" -> +w2*softmax(position affinity) (PAR, the
-      load-bearing variant), "+var" -> +softmax(local variation) (PAR3),
-      "-var" -> -w2*softmax(local variation) (PAR3b1/3d/3f == VARM's shape)
+      load-bearing variant), "+var" -> +w2*softmax(local variation) (PAR3 with
+      w2=1.0, PAR3a with w2=0.01), "-var" -> -w2*softmax(local variation)
+      (PAR3b family == VARM's shape), "/var" -> ratio form (PAR3e)
     - clamp: clamp the mixed affinity at 0 (PAR3bb)
 
-    The remaining sweep names (PAR2/2a/2b count-rescalings, PAR3b/3b3 scalar
-    sharpness tweaks, PAR3c/3e ratio forms, PAR4 skewness) differ only by scalar
-    re-weightings of these same terms and are documented as intentionally excluded
-    duplicates in PARITY.md.
+    The remaining sweep names reduce to these axes modulo a global output scalar
+    (PAR2 /tv, PAR2a *tv, PAR3b1/3b2/3d /(tv+eps) per iteration — propagation is
+    linear in masks, so a per-iteration scalar is a global scale of the result,
+    invisible to the downstream argmax; PAR3b/3b3 fold their sharpness constant
+    into w1; PAR3c folds tv into w2 plus a scale). `tests/test_par_zoo_parity.py`
+    instantiates the actual reference classes and proves each mapping
+    numerically; the only non-reducing variants are PARgg (two-resolution
+    affinity), PAR2b (per-pixel division by the mask TV map) and the
+    PAR3ey/3f/4 pandas-skewness dead ends, documented with diffs in PARITY.md.
     """
     masks = resize_bilinear(masks, imgs.shape[1:3], align_corners=True)
     nb = dilated_neighbors(imgs, dilations)
@@ -207,12 +213,15 @@ def par_variant_refine(
         pos = _pos_tensor(dilations)
         pos_aff = -((pos / (jnp.std(pos, ddof=1) + 1e-8)) / w1) ** 2
         ref = ref + w2 * jax.nn.softmax(pos_aff)[None, None, None, :, None]
-    elif extra in ("+var", "-var"):
+    elif extra in ("+var", "-var", "/var"):
         t1 = jnp.concatenate([nb[:, 1:], nb[:, -1:]], axis=1)
         t2 = jnp.concatenate([nb[:, :, 1:], nb[:, :, -1:]], axis=2)
         temp = ((nb - t1) ** 2 + (nb - t2) ** 2).mean(axis=-1, keepdims=True)
         sv = jax.nn.softmax(temp, axis=3)
-        ref = ref + (w2 * sv if extra == "+var" else -w2 * sv)
+        if extra == "/var":  # PAR3e ratio form (`PAR.py:1152-1225`)
+            ref = ref / sv
+        else:
+            ref = ref + (w2 * sv if extra == "+var" else -w2 * sv)
     if clamp:
         ref = jnp.maximum(ref, 0.0)
     return propagate(masks, ref, dilations, num_iter)

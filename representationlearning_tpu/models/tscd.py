@@ -32,13 +32,21 @@ class TSCD(nn.Module):
     pooling: str = "gmp"
     use_flash: bool = False
     fused_blocks: bool = False  # inference: fused pallas kernels for non-exporting blocks
+    collect_attns: bool | str = "last2"  # "none": skip attention export entirely —
+    # attn_pred comes back None and EVERY block may run flash/fused. Param tree is
+    # unchanged except the (unused) attn_proj, so trained checkpoints load either
+    # way. Use for pseudo-label generation, where the affinity matrix is never
+    # consumed (`utils/camutils.py:85-113` ignores it): the stride-16 stage-4
+    # exporters otherwise materialize (B, nh, N, N) f32 logits — 1.4 GB apiece at
+    # the 1.5x CAM scale.
     dtype: Any = jnp.float32
 
     def setup(self):
         cfg = dict(MIT_CONFIGS[self.backbone])
         self.encoder = MixVisionTransformer(
             strides=self.strides, dtype=self.dtype, use_flash=self.use_flash,
-            fused_blocks=self.fused_blocks, **cfg, name="encoder"
+            fused_blocks=self.fused_blocks, collect_attns=self.collect_attns,
+            **cfg, name="encoder"
         )
         self.decoder = SegFormerHead(
             num_classes=self.num_classes, embedding_dim=self.embedding_dim,
@@ -59,11 +67,14 @@ class TSCD(nn.Module):
         feats, attns = self.encoder(x, deterministic=not train)
         x4 = feats[3]
 
-        # affinity prediction from the last two attention maps: (B, nh, Nk, Nk) x2
-        # -> channel-concat -> 1x1 conv -> sigmoid (`TSCD_model.py:73-76`)
-        attn_cat = jnp.concatenate(attns[-2:], axis=1)  # (B, 16, Nk, Nk)
-        attn_nhwc = attn_cat.transpose(0, 2, 3, 1)
-        attn_pred = jax.nn.sigmoid(self.attn_proj(attn_nhwc)[..., 0])  # (B, Nk, Nk)
+        if attns:
+            # affinity prediction from the last two attention maps: (B, nh, Nk, Nk) x2
+            # -> channel-concat -> 1x1 conv -> sigmoid (`TSCD_model.py:73-76`)
+            attn_cat = jnp.concatenate(attns[-2:], axis=1)  # (B, 16, Nk, Nk)
+            attn_nhwc = attn_cat.transpose(0, 2, 3, 1)
+            attn_pred = jax.nn.sigmoid(self.attn_proj(attn_nhwc)[..., 0])  # (B, Nk, Nk)
+        else:  # collect_attns == "none"
+            attn_pred = None
 
         if cam_only:
             cam_s4 = jax.lax.stop_gradient(self.classifier(x4))  # (B, h, w, C-1)

@@ -260,3 +260,21 @@ def load_drfl_dcl():
     import model.DCL as dcl  # noqa: E402
 
     return dcl
+
+
+def load_rml_par_zoo():
+    """Import RML's PAR experiment zoo (`RML/backbone/PAR.py`, parameter-free
+    refinement modules) plus the load-bearing `RML/network/PAR.py` module."""
+    install_torch_stubs()
+    _path_front(RML_ROOT)
+    import importlib.util
+
+    def _load(path, name):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    zoo = _load(f"{RML_ROOT}/backbone/PAR.py", "rml_backbone_par")
+    network = _load(f"{RML_ROOT}/network/PAR.py", "rml_network_par")
+    return zoo, network
