@@ -62,6 +62,63 @@ def resize_bilinear(x: jax.Array, size, align_corners: bool = False) -> jax.Arra
     return xf.astype(dtype)
 
 
+def _interp_matrix(out_size: int, in_size: int, align_corners: bool,
+                   flip: bool) -> jnp.ndarray:
+    """Dense (out, in) 1-D linear-interp matrix with EXACTLY the taps/weights of
+    `_axis_resize_coords` (each row has <= 2 nonzeros summing to 1). With
+    `flip=True` the rows are reversed, so `M_flip @ v == flip(M @ v)` — lets a
+    caller fuse a horizontal flip into the resize for free."""
+    import numpy as np
+
+    # numpy replication of `_axis_resize_coords` (jnp tracers can't leave the
+    # trace); same f32 arithmetic order, so taps/weights are bit-identical
+    if align_corners and out_size > 1:
+        src = np.arange(out_size, dtype=np.float32) * np.float32(
+            (in_size - 1) / (out_size - 1))
+    elif align_corners:
+        src = np.zeros((out_size,), np.float32)
+    else:
+        src = (np.arange(out_size, dtype=np.float32) + np.float32(0.5)) * \
+            np.float32(in_size / out_size) - np.float32(0.5)
+        src = np.clip(src, 0.0, in_size - 1).astype(np.float32)
+    i0 = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = src - i0.astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    m[rows, i0] += 1.0 - w1
+    m[rows, i1] += w1
+    if flip:
+        m = m[::-1]
+    return jnp.asarray(np.ascontiguousarray(m))
+
+
+def resize_bilinear_mm(x: jax.Array, size, align_corners: bool = False,
+                       flip_w: bool = False) -> jax.Array:
+    """Bilinear resize of (B, H, W, C) as two small einsums on the MXU.
+
+    Mathematically identical taps/weights to `resize_bilinear` (same
+    `_axis_resize_coords`), computed as out = Mh @ x @ Mw^T per (batch,
+    channel) with f32 HIGHEST-precision matmuls. On TPU this avoids the
+    gather lowering, whose transposed intermediate layouts dominate the SCD
+    pseudo-label chain (PERF.md round 3: 24 ms of a 52 ms post-processing
+    tail). `flip_w=True` additionally reverses the output W axis inside the
+    same matmul — `resize_bilinear_mm(x, s, flip_w=True) == flip_lr(
+    resize_bilinear_mm(x, s))` exactly."""
+    H_out, W_out = int(size[0]), int(size[1])
+    H_in, W_in = x.shape[-3], x.shape[-2]
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if (H_out, W_out) == (H_in, W_in):
+        return flip_lr(xf.astype(dtype)) if flip_w else x
+    Mh = _interp_matrix(H_out, H_in, align_corners, False)
+    Mw = _interp_matrix(W_out, W_in, align_corners, flip_w)
+    hi = jax.lax.Precision.HIGHEST
+    xf = jnp.einsum("oh,...hwc->...owc", Mh, xf, precision=hi)
+    xf = jnp.einsum("ow,...hwc->...hoc", Mw, xf, precision=hi)
+    return xf.astype(dtype)
+
+
 def resize_nearest(x: jax.Array, size) -> jax.Array:
     """``F.interpolate(mode='nearest')``: src index = floor(i * in/out)."""
     H_out, W_out = int(size[0]), int(size[1])

@@ -15,17 +15,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.image import flip_lr, minmax_normalize_cam, resize_bilinear, resize_nearest
+from ..ops.image import (flip_lr, minmax_normalize_cam, resize_bilinear,
+                         resize_bilinear_mm, resize_nearest)
 
 
 def _single_scale_cam(cam_fn, inputs, size):
     """Forward [x; flip(x)] through cam_only, resize to `size`, max over flips, relu
-    (`camutils.py:89-96`). Returns (cam, attn_pred_of_cat_batch)."""
+    (`camutils.py:89-96`). Returns (cam, attn_pred_of_cat_batch).
+
+    On TPU the upsample runs as MXU einsums with the flip folded into the
+    flipped half's W interp matrix (`ops/image.py::resize_bilinear_mm`) — same
+    taps/weights as the gather path, but no transposed gather intermediates
+    (PERF.md round 3: the gather lowering made this chain's post-processing
+    cost as much as the model)."""
     b = inputs.shape[0]
     cat = jnp.concatenate([inputs, flip_lr(inputs)], axis=0)
     cam, ref = cam_fn(cat)
-    cam = resize_bilinear(cam, size, align_corners=False)
-    cam = jnp.maximum(cam[:b], flip_lr(cam[b:]))
+    if jax.default_backend() == "tpu":
+        fwd = resize_bilinear_mm(cam[:b], size, align_corners=False)
+        flp = resize_bilinear_mm(cam[b:], size, align_corners=False, flip_w=True)
+        cam = jnp.maximum(fwd, flp)
+    else:
+        cam = resize_bilinear(cam, size, align_corners=False)
+        cam = jnp.maximum(cam[:b], flip_lr(cam[b:]))
     return jax.nn.relu(cam), ref
 
 

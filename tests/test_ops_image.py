@@ -82,3 +82,20 @@ def test_minmax_normalize_cam_range():
     x = _rand((2, 6, 6, 3), seed=3)
     out = np.asarray(I.minmax_normalize_cam(x))
     assert out.min() >= -1e-6 and out.max() <= 1.0 + 1e-5
+
+
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize("sizes", [((5, 7), (16, 16)), ((32, 32), (512, 512)),
+                                   ((48, 48), (512, 512)), ((16, 12), (7, 5))])
+def test_resize_bilinear_mm_matches_gather(align, sizes):
+    """The MXU einsum resize (`resize_bilinear_mm`) uses the exact taps/weights
+    of the gather path — outputs match to float-assoc tolerance, and flip_w=True
+    equals flip_lr of the unflipped output exactly."""
+    (hin, win), out = sizes
+    x = _rand((2, hin, win, 3), seed=9)
+    want = np.asarray(I.resize_bilinear(x, out, align_corners=align))
+    got = np.asarray(I.resize_bilinear_mm(x, out, align_corners=align))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    flipped = np.asarray(I.resize_bilinear_mm(x, out, align_corners=align,
+                                              flip_w=True))
+    np.testing.assert_array_equal(flipped, got[:, :, ::-1])
