@@ -136,19 +136,30 @@ def refine_cams_with_bkg_v2(
     valid = jnp.concatenate([bkg_cls, cls_labels], axis=1)  # (B, C)
     neg_inf = jnp.finfo(cams.dtype).min
 
-    def refined_label(bkg_value):
+    def probs_for(bkg_value):
         bkg = jnp.full((B, H, W, 1), bkg_value, cams.dtype)
         cwb = jnp.concatenate([bkg, cams], axis=-1)  # (B,H,W,C)
         cwb_small = resize_bilinear(cwb, small, align_corners=False)
         logits = jnp.where(valid[:, None, None, :] > 0, cwb_small, neg_inf)
-        probs = jax.nn.softmax(logits, axis=-1)
-        ref = refine_fn(imgs_small, probs)
+        return jax.nn.softmax(logits, axis=-1)
+
+    # ONE refine call for both threshold stacks: propagation is per-channel
+    # independent (the affinity depends only on the image), so channel-concat
+    # is exact and halves the refine cost — the reference runs the module
+    # twice (`camutils.py:168-171`); profiled at 9.5 ms/step of the RML
+    # trainer before dedup (PERF.md round 3)
+    both = refine_fn(imgs_small,
+                     jnp.concatenate([probs_for(high_thre), probs_for(low_thre)],
+                                     axis=-1))
+    C = Cf + 1
+
+    def label_of(ref):
         ref = resize_bilinear(ref, (H, W), align_corners=False)
         ref = jnp.where(valid[:, None, None, :] > 0, ref, neg_inf)
         return ref.argmax(axis=-1)
 
-    label_h = refined_label(high_thre)
-    label_l = refined_label(low_thre)
+    label_h = label_of(both[..., :C])
+    label_l = label_of(both[..., C:])
 
     # combination (`camutils.py:196-199`): confident-fg from the high-bkg pass, bg only
     # where both passes agree on bg, everything else ignore; outside the valid box
