@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from ..core.registry import MODELS
 from ..losses.cgfl import segmentation_loss_aux
-from ..ops.image import adaptive_avg_pool_11, resize_bilinear
+from ..ops.image import adaptive_avg_pool_11, resize_bilinear_auto
 from .hrnet import HRNET_EXTRA, HighResolutionNet
 from .hrt import HRT_CONFIGS, HighResolutionTransformerNet
 from .layers import TorchConv
@@ -30,7 +30,7 @@ class SimpleFusion8(nn.Module):
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
         x0 = feats[0]
         tgt = x0.shape[1:3]
-        ups = [x0] + [resize_bilinear(f, tgt, align_corners=True) for f in feats[1:]]
+        ups = [x0] + [resize_bilinear_auto(f, tgt, align_corners=True) for f in feats[1:]]
         x = jnp.concatenate(ups, axis=-1)
         x = TorchConv(self.in_channels, (1, 1), name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -73,7 +73,7 @@ class HRNetFusion(nn.Module):
         aux_logits = self.headaux(adaptive_avg_pool_11(f0).reshape(x.shape[0], -1))
         logit = self.head_conv(fused)
         H, W = logit.shape[1] * self.upsample_scale, logit.shape[2] * self.upsample_scale
-        logit = resize_bilinear(logit, (H, W), align_corners=True)
+        logit = resize_bilinear_auto(logit, (H, W), align_corners=True)
 
         if train:
             cfg = self.loss_config or {"ce": {}}

@@ -25,7 +25,40 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import DropPath, TorchConv, trunc_normal_init
+from .layers import DropPath, TorchConv, fan_out_conv_init, trunc_normal_init
+
+
+class _SpatialGateConv(nn.Module):
+    """The 7x7 2->1 gate conv, unrolled as 98 shifted multiply-adds on TPU.
+
+    XLA's conv emitter computes this tiny conv's KERNEL GRADIENT as a
+    reduce-window costing ~2.3 ms per layer on the v5e (PERF.md round 3 —
+    ~18 ms/step across HRNetFusion's gate layers at batch 8 512^2, for a conv
+    whose whole-step FLOPs are ~0.1 GF). The unrolled form autodiffs into 98
+    fusable elementwise reduces instead. Param tree identical to
+    `nn.Conv(name=...)`: <name>/kernel, shape (ks, ks, 2, 1), no bias."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, h):
+        ks = self.kernel_size
+        kernel = self.param("kernel", fan_out_conv_init(), (ks, ks, 2, 1))
+        if jax.default_backend() != "tpu":
+            return jax.lax.conv_general_dilated(
+                h, kernel.astype(h.dtype), (1, 1),
+                ((ks // 2, ks // 2), (ks // 2, ks // 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        B, H, W, _ = h.shape
+        p = ks // 2
+        hp = jnp.pad(h, ((0, 0), (p, p), (p, p), (0, 0)))
+        out = jnp.zeros((B, H, W), h.dtype)
+        for i in range(ks):
+            for j in range(ks):
+                tap = hp[:, i:i + H, j:j + W, :]
+                out = out + tap[..., 0] * kernel[i, j, 0, 0] \
+                          + tap[..., 1] * kernel[i, j, 1, 0]
+        return out[..., None]
 
 
 class SpatialAttention(nn.Module):
@@ -36,9 +69,7 @@ class SpatialAttention(nn.Module):
         avg = x.mean(axis=-1, keepdims=True)
         mx = x.max(axis=-1, keepdims=True)
         h = jnp.concatenate([avg, mx], axis=-1)
-        p = self.kernel_size // 2
-        h = TorchConv(1, (self.kernel_size, self.kernel_size), padding=(p, p),
-                      use_bias=False, name="conv1")(h)
+        h = _SpatialGateConv(self.kernel_size, name="conv1")(h)
         return jax.nn.sigmoid(h)
 
 

@@ -119,6 +119,14 @@ def resize_bilinear_mm(x: jax.Array, size, align_corners: bool = False,
     return xf.astype(dtype)
 
 
+def resize_bilinear_auto(x: jax.Array, size, align_corners: bool = False) -> jax.Array:
+    """`resize_bilinear_mm` on TPU (MXU einsums, differentiable, no gather
+    intermediates), gather path elsewhere. Same taps/weights either way."""
+    if jax.default_backend() == "tpu":
+        return resize_bilinear_mm(x, size, align_corners=align_corners)
+    return resize_bilinear(x, size, align_corners=align_corners)
+
+
 def resize_nearest(x: jax.Array, size) -> jax.Array:
     """``F.interpolate(mode='nearest')``: src index = floor(i * in/out)."""
     H_out, W_out = int(size[0]), int(size[1])
