@@ -123,15 +123,13 @@ class LoveDADataset:
                     k = int(rng.integers(1, 4))
                     img, mask = np.rot90(img, k), np.rot90(mask, k)
             if rng.random() < self.affine_p:
-                # scale + shift jitter (ShiftScaleRotate's scale/shift components)
-                s = 1.0 + rng.uniform(-self.scale_limit, self.scale_limit)
-                img2, mask2 = T._rescale(np.ascontiguousarray(img),
-                                         np.ascontiguousarray(mask).astype(np.int32), s)
-                img, mask3, _ = T.random_crop(
-                    rng, img2, mask2.astype(np.float32), crop_size=self.crop_size,
-                    mean_rgb=(0, 0, 0), ignore_index=-1,
+                # ShiftScaleRotate(0.0625, 0.2, 45) p=.2 (`configs/base/loveda.py:30`)
+                img, mask2 = T.shift_scale_rotate(
+                    rng, np.ascontiguousarray(img),
+                    np.ascontiguousarray(mask).astype(np.int32),
+                    scale_limit=self.scale_limit,
                 )
-                mask = mask3.astype(np.int64)
+                mask = mask2.astype(np.int64)
         img = T.normalize_img(np.ascontiguousarray(img))
         return name, img, np.ascontiguousarray(mask)
 

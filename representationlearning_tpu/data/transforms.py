@@ -224,3 +224,39 @@ class PhotoMetricDistortion:
         if mode == 0 and rng.integers(2):
             img = self._convert(img, alpha=rng.uniform(self.contrast_lower, self.contrast_upper))
         return img
+
+
+def shift_scale_rotate(
+    rng: np.random.Generator,
+    image: np.ndarray,
+    mask: np.ndarray | None = None,
+    shift_limit: float = 0.0625,
+    scale_limit: float = 0.2,
+    rotate_limit: float = 45.0,
+):
+    """albumentations.ShiftScaleRotate with its exact cv2 semantics
+    (`RSSFormer-TIP2023/configs/base/loveda.py:30`): ONE affine warp combining
+    rotation about the image center (cv2.getRotationMatrix2D at (w/2, h/2)),
+    isotropic scale in [1-s, 1+s] and shift in [-d, +d] of the side length;
+    BORDER_REFLECT_101, INTER_LINEAR for the image and INTER_NEAREST for the
+    mask (so labels never blend). Replaces the round-2 approximation
+    (scale-jitter + re-crop) that had no rotation and crop-style borders."""
+    import cv2
+
+    angle = float(rng.uniform(-rotate_limit, rotate_limit))
+    scale = 1.0 + float(rng.uniform(-scale_limit, scale_limit))
+    dx = float(rng.uniform(-shift_limit, shift_limit))
+    dy = float(rng.uniform(-shift_limit, shift_limit))
+    h, w = image.shape[:2]
+    M = cv2.getRotationMatrix2D((w / 2, h / 2), angle, scale)
+    M[0, 2] += dx * w
+    M[1, 2] += dy * h
+    out = cv2.warpAffine(image.astype(np.float32), M, (w, h),
+                         flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_REFLECT_101)
+    if mask is None:
+        return out
+    m32 = mask.astype(np.float32)
+    new_mask = cv2.warpAffine(m32, M, (w, h), flags=cv2.INTER_NEAREST,
+                              borderMode=cv2.BORDER_REFLECT_101)
+    return out, new_mask.astype(mask.dtype)

@@ -88,3 +88,38 @@ def test_threaded_loader_and_device_prefetch_preserve_order():
     dev = list(device_prefetch(iter(batches), n=2))
     assert len(dev) == 7
     assert [int(np.asarray(b)[0, 0]) for b in dev] == list(range(7))
+
+
+def test_shift_scale_rotate_semantics():
+    """shift_scale_rotate: identity at zero limits; integer shift == reflected
+    roll; nearest mask interp introduces no new labels; reflect-101 border."""
+    from representationlearning_tpu.data.transforms import shift_scale_rotate
+
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 40, 3)).astype(np.float32) * 255
+    mask = rng.integers(0, 5, (32, 40)).astype(np.int32)
+
+    # zero limits -> identity warp
+    out, m = shift_scale_rotate(np.random.default_rng(1), img, mask,
+                                shift_limit=0, scale_limit=0, rotate_limit=0)
+    np.testing.assert_allclose(out, img, atol=1e-3)
+    np.testing.assert_array_equal(m, mask)
+
+    # pure 1-pixel x-shift (dx = 1/w): column j reads column j-1, border reflects
+    class FixedRng:
+        def __init__(self, vals):
+            self.vals = list(vals)
+
+        def uniform(self, lo, hi):
+            return self.vals.pop(0)
+
+    fr = FixedRng([0.0, 0.0, 1.0 / 40.0, 0.0])  # angle, scale-1... order: angle, scale, dx, dy
+    out, m = shift_scale_rotate(fr, img, mask, shift_limit=1.0, scale_limit=0,
+                                rotate_limit=0)
+    np.testing.assert_array_equal(m[:, 1:], mask[:, :-1])
+    np.testing.assert_array_equal(m[:, 0], mask[:, 1])  # reflect-101 border
+
+    # random warp: labels subset of originals (nearest), shapes preserved
+    out, m = shift_scale_rotate(rng, img, mask)
+    assert out.shape == img.shape and m.shape == mask.shape
+    assert set(np.unique(m)).issubset(set(np.unique(mask)))
