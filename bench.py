@@ -314,7 +314,8 @@ def bench_rssformer_train(peak):
 
     batch = 8
     cfg = RSSFormerTrainConfig()
-    model = HRNetFusion(hrnet_type="hrnetv2_w32", classes=7, dtype=jnp.bfloat16)
+    model = HRNetFusion(hrnet_type="hrnetv2_w32", classes=7, dtype=jnp.bfloat16,
+                        defer_bn_ema=True)
     state = create_rssformer_state(model, (512, 512, 3), cfg)
     rng = np.random.default_rng(0)
     batch_data = {
@@ -380,10 +381,15 @@ BENCHES = {
     "segformer_b1": (
         bench_segformer_b1_predict, "segformer_b1_512_tiles_per_sec_per_chip"),
 }
-# headline LAST (last-line parser). Order also matters for failure isolation: each
+# RUN the headline first (VERDICT r2 item 1: first-in-record — it must never be
+# starved by earlier hangs/timeouts) but PRINT it last (last-line parser). Each
 # name runs in its OWN subprocess (round-2 lesson: all six in one process let an
 # early RESOURCE_EXHAUSTED poison the later configs, zeroing the headline).
-BENCH_ORDER = [
+BENCH_RUN_ORDER = [
+    "segformer_b1", "wavecam_cams", "rssformer_predict", "scd_pseudo_labels",
+    "rssformer_train", "rml_train",
+]
+BENCH_PRINT_ORDER = [
     "wavecam_cams", "rssformer_predict", "scd_pseudo_labels",
     "rssformer_train", "rml_train", "segformer_b1",
 ]
@@ -408,13 +414,21 @@ def main():
     import subprocess
     import sys
 
-    for name in BENCH_ORDER:
+    import os
+
+    child_env = dict(os.environ)
+    # persistent compile cache (keyed by HLO): repeated bench runs skip the
+    # 20-40 s per-config TPU compiles; code changes invalidate naturally
+    child_env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rl_tpu_bench_cache")
+    child_env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    lines = {}
+    for name in BENCH_RUN_ORDER:
         fn, metric = BENCHES[name]
         line = None
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--one", name],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=1800, env=child_env,
             )
             # last stdout line that parses as a {"metric": ...} record
             for cand in reversed(proc.stdout.strip().splitlines()):
@@ -437,7 +451,14 @@ def main():
                 "metric": metric, "value": 0.0, "unit": "error",
                 "vs_baseline": 0.0, "error": "timeout after 1800s",
             })
+        lines[name] = line
+        # stream as completed (a mid-run kill must not erase finished results) ...
         print(line, flush=True)
+    # ... then re-emit in canonical order ending with the headline, so both a
+    # last-line parser and a dict-by-metric parser (duplicates overwrite with
+    # identical values) record the headline.
+    for name in BENCH_PRINT_ORDER:
+        print(lines[name], flush=True)
 
 
 if __name__ == "__main__":

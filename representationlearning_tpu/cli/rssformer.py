@@ -31,7 +31,8 @@ from ..utils.visualize import save_palette_png
 
 def default_config() -> Config:
     return Config({
-        "model": {"hrnet_type": "hrnetv2_w32", "classes": 7, "loss": {"ce": {}}},
+        "model": {"hrnet_type": "hrnetv2_w32", "classes": 7, "loss": {"ce": {}},
+                   "defer_bn_ema": True},
         "data": {"image_dir": None, "mask_dir": None, "crop_size": 512,
                   "batch_size": 8, "synthetic_n": 16},
         "learning_rate": {"base_lr": 0.01, "power": 0.9, "max_iters": 30000},
@@ -43,8 +44,10 @@ def default_config() -> Config:
 
 
 def _build(cfg):
+    defer = bool(cfg.model.get("defer_bn_ema", True)) and \
+        cfg.model.hrnet_type.startswith("hrnetv2")
     model = HRNetFusion(hrnet_type=cfg.model.hrnet_type, classes=cfg.model.classes,
-                        loss_config=cfg.model.loss.to_dict())
+                        loss_config=cfg.model.loss.to_dict(), defer_bn_ema=defer)
     tcfg = RSSFormerTrainConfig(
         base_lr=cfg.learning_rate.base_lr, power=cfg.learning_rate.power,
         max_iters=cfg.learning_rate.max_iters, momentum=cfg.optimizer.momentum,
@@ -117,9 +120,10 @@ def cmd_predict(cfg, args):
                        training=False, synthetic_n=cfg.data.get("synthetic_n", 16))
     os.makedirs(args.out_dir, exist_ok=True)
     fwd = jax.jit(lambda v, x: model.apply(v, x))
+    variables = state.variables
     for i in range(len(ds)):
         name, img, _ = ds[i]
-        probs = fwd(state.variables, jnp.asarray(img)[None])
+        probs = fwd(variables, jnp.asarray(img)[None])
         pred = np.asarray(probs.argmax(-1))[0]
         save_palette_png(pred, os.path.join(args.out_dir, f"{name}.png"))
     return args.out_dir

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.image import resize_nearest
-from .layers import TorchConv
+from .layers import RawStatBatchNorm, TorchConv
 from .rssformer_modules import GeneralTransformerBlock
 
 HRNET_EXTRA = {
@@ -35,8 +35,9 @@ STAGE_BRANCHES = (1, 2, 3, 4)
 STAGE_BLOCKS = 4               # blocks per branch, all stages
 
 
-def _bn(train, name):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
+def _bn(train, name, defer=False):
+    cls = RawStatBatchNorm if defer else nn.BatchNorm
+    return cls(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
 
 
 class BasicBlock(nn.Module):
@@ -44,20 +45,21 @@ class BasicBlock(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     dtype: Any = None
+    defer_bn_ema: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = TorchConv(self.planes, (3, 3), stride=(self.stride, self.stride),
                         padding=(1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = _bn(train, "bn1")(out)
+        out = _bn(train, "bn1", self.defer_bn_ema)(out)
         out = nn.relu(out)
         out = TorchConv(self.planes, (3, 3), padding=(1, 1), use_bias=False,
                         dtype=self.dtype, name="conv2")(out)
-        out = _bn(train, "bn2")(out)
+        out = _bn(train, "bn2", self.defer_bn_ema)(out)
         if self.has_downsample:
             res = TorchConv(self.planes, (1, 1), stride=(self.stride, self.stride),
                             use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            res = _bn(train, "downsample_bn")(res)
+            res = _bn(train, "downsample_bn", self.defer_bn_ema)(res)
         else:
             res = x
         return nn.relu(out + res)
@@ -68,22 +70,23 @@ class Bottleneck(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     dtype: Any = None
+    defer_bn_ema: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = TorchConv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = _bn(train, "bn1")(out)
+        out = _bn(train, "bn1", self.defer_bn_ema)(out)
         out = nn.relu(out)
         out = TorchConv(self.planes, (3, 3), stride=(self.stride, self.stride),
                         padding=(1, 1), use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = _bn(train, "bn2")(out)
+        out = _bn(train, "bn2", self.defer_bn_ema)(out)
         out = nn.relu(out)
         out = TorchConv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
-        out = _bn(train, "bn3")(out)
+        out = _bn(train, "bn3", self.defer_bn_ema)(out)
         if self.has_downsample:
             res = TorchConv(self.planes * 4, (1, 1), stride=(self.stride, self.stride),
                             use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            res = _bn(train, "downsample_bn")(res)
+            res = _bn(train, "downsample_bn", self.defer_bn_ema)(res)
         else:
             res = x
         return nn.relu(out + res)
@@ -97,11 +100,12 @@ class FuseUp(nn.Module):
     out_ch: int
     target: tuple
     dtype: Any = None
+    defer_bn_ema: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchConv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = _bn(train, "bn")(x)
+        x = _bn(train, "bn", self.defer_bn_ema)(x)
         return resize_nearest(x, self.target)
 
 
@@ -112,6 +116,7 @@ class FuseDown(nn.Module):
     out_ch: int
     steps: int
     dtype: Any = None
+    defer_bn_ema: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -120,7 +125,7 @@ class FuseDown(nn.Module):
             ch = self.out_ch if last else self.mid_ch
             x = TorchConv(ch, (3, 3), stride=(2, 2), padding=(1, 1),
                           use_bias=False, dtype=self.dtype, name=f"conv{k}")(x)
-            x = _bn(train, f"bn{k}")(x)
+            x = _bn(train, f"bn{k}", self.defer_bn_ema)(x)
             if not last:
                 x = nn.relu(x)
         return x
@@ -133,6 +138,7 @@ class HighResolutionModule(nn.Module):
     with_transformer: bool = True
     multi_scale_output: bool = True
     dtype: Any = jnp.float32
+    defer_bn_ema: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -141,6 +147,7 @@ class HighResolutionModule(nn.Module):
             x = xs[0]
             for b in range(self.num_blocks):
                 x = BasicBlock(self.channels[0], dtype=self.dtype,
+                               defer_bn_ema=self.defer_bn_ema,
                                name=f"branch0_block{b}")(x, train)
             return [x]
 
@@ -149,6 +156,7 @@ class HighResolutionModule(nn.Module):
             for b in range(self.num_blocks):
                 ds = xs[i].shape[-1] != self.channels[i] and b == 0
                 xs[i] = BasicBlock(self.channels[i], has_downsample=ds, dtype=self.dtype,
+                                   defer_bn_ema=self.defer_bn_ema,
                                    name=f"branch{i}_block{b}")(xs[i], train)
 
         n_out = nb if self.multi_scale_output else 1
@@ -156,7 +164,8 @@ class HighResolutionModule(nn.Module):
         for i in range(n_out):
             # y: identity branch contribution; low: sum of the other branches
             y = xs[0] if i == 0 else FuseDown(
-                self.channels[0], self.channels[i], i, dtype=self.dtype, name=f"fuse{i}_0"
+                self.channels[0], self.channels[i], i, dtype=self.dtype,
+                defer_bn_ema=self.defer_bn_ema, name=f"fuse{i}_0"
             )(xs[0], train)
             low = None
             for j in range(1, nb):
@@ -165,14 +174,18 @@ class HighResolutionModule(nn.Module):
                 elif j > i:
                     tgt = (xs[i].shape[1], xs[i].shape[2])
                     t = FuseUp(self.channels[i], tgt, dtype=self.dtype,
+                               defer_bn_ema=self.defer_bn_ema,
                                name=f"fuse{i}_{j}")(xs[j], train)
                 else:
                     t = FuseDown(self.channels[j], self.channels[i], i - j,
-                                 dtype=self.dtype, name=f"fuse{i}_{j}")(xs[j], train)
+                                 dtype=self.dtype, defer_bn_ema=self.defer_bn_ema,
+                                 name=f"fuse{i}_{j}")(xs[j], train)
                 low = t if low is None else low + t
             if i == 0 and self.with_transformer:
                 y = GeneralTransformerBlock(self.channels[0], num_heads=2,
-                                            dtype=self.dtype, name="transformer")(low, y, train=train)
+                                            dtype=self.dtype,
+                                            defer_bn_ema=self.defer_bn_ema,
+                                            name="transformer")(low, y, train=train)
             else:
                 y = y + low
             outs.append(nn.relu(y))
@@ -185,6 +198,7 @@ class Transition(nn.Module):
     prev_channels: Sequence[int]
     cur_channels: Sequence[int]
     dtype: Any = None
+    defer_bn_ema: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -195,7 +209,7 @@ class Transition(nn.Module):
                 if self.cur_channels[i] != self.prev_channels[i]:
                     h = TorchConv(self.cur_channels[i], (3, 3), padding=(1, 1),
                                   use_bias=False, dtype=self.dtype, name=f"t{i}_conv")(xs[i])
-                    h = _bn(train, f"t{i}_bn")(h)
+                    h = _bn(train, f"t{i}_bn", self.defer_bn_ema)(h)
                     outs.append(nn.relu(h))
                 else:
                     outs.append(xs[i])
@@ -206,7 +220,7 @@ class Transition(nn.Module):
                     ch = self.cur_channels[i] if last else self.prev_channels[-1]
                     h = TorchConv(ch, (3, 3), stride=(2, 2), padding=(1, 1),
                                   use_bias=False, dtype=self.dtype, name=f"t{i}_conv{j}")(h)
-                    h = _bn(train, f"t{i}_bn{j}")(h)
+                    h = _bn(train, f"t{i}_bn{j}", self.defer_bn_ema)(h)
                     h = nn.relu(h)
                 outs.append(h)
         return outs
@@ -216,6 +230,7 @@ class HighResolutionNet(nn.Module):
     hrnet_type: str = "hrnetv2_w32"
     with_transformer: bool = True
     dtype: Any = jnp.float32
+    defer_bn_ema: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -224,16 +239,17 @@ class HighResolutionNet(nn.Module):
         # stem: two stride-2 3x3 convs
         x = TorchConv(64, (3, 3), stride=(2, 2), padding=(1, 1), use_bias=False,
                       dtype=self.dtype, name="conv1")(x)
-        x = _bn(train, "bn1")(x)
+        x = _bn(train, "bn1", self.defer_bn_ema)(x)
         x = nn.relu(x)
         x = TorchConv(64, (3, 3), stride=(2, 2), padding=(1, 1), use_bias=False,
                       dtype=self.dtype, name="conv2")(x)
-        x = _bn(train, "bn2")(x)
+        x = _bn(train, "bn2", self.defer_bn_ema)(x)
         x = nn.relu(x)
 
         # stage 1: 4 bottlenecks at 64 planes -> 256 channels
         for b in range(4):
             x = Bottleneck(64, has_downsample=(b == 0), dtype=self.dtype,
+                           defer_bn_ema=self.defer_bn_ema,
                            name=f"layer1_{b}")(x, train)
         feats = [x]
         prev = (256,)
@@ -243,12 +259,14 @@ class HighResolutionNet(nn.Module):
         ):
             cur = tuple(widths[:n_branches])
             feats = Transition(prev, cur, dtype=self.dtype,
+                               defer_bn_ema=self.defer_bn_ema,
                                name=f"transition{stage - 1}")(feats, train)
             for m in range(n_modules):
                 feats = HighResolutionModule(
                     n_branches, cur, STAGE_BLOCKS,
                     with_transformer=self.with_transformer,
-                    dtype=self.dtype, name=f"stage{stage}_m{m}",
+                    dtype=self.dtype, defer_bn_ema=self.defer_bn_ema,
+                    name=f"stage{stage}_m{m}",
                 )(feats, train)
             prev = cur
         return feats  # 4 maps at strides 4/8/16/32

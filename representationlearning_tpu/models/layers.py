@@ -39,6 +39,89 @@ def fan_out_conv_init():
     return init
 
 
+class RawStatBatchNorm(nn.BatchNorm):
+    """BatchNorm whose train-mode running-stat update is DEFERRED to the trainer.
+
+    Identical to `nn.BatchNorm` except that in train mode it writes the RAW batch
+    mean/var into the `batch_stats` collection instead of EMA-updating in place.
+    The train step then applies ONE fused flat-vector EMA across every layer at
+    once (`train/rssformer.py::make_rssformer_train_step`), which is arithmetic-
+    identical per element (`m*old + (1-m)*batch`, flax's own expression) but
+    collapses the ~800 per-layer EMA dispatches of HRNetV2's ~400 norm layers
+    into a single kernel — the round-2 profile measured those tiny f32[32..256]
+    ops at 16-66 us each on the v5e runtime (PERF.md).
+
+    Variable tree (<name>/{mean,var}), params, and eval behavior are identical to
+    `nn.BatchNorm`, so checkpoints convert unchanged. The __call__ body mirrors
+    flax 0.12's `BatchNorm.__call__` with only the update lines changed.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None, *, mask=None):
+        from flax.linen import normalization as _N
+
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_axes = _N._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stat_dtype = (
+            jnp.float32 if self.force_float32_reductions else self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, stat_dtype), feature_shape
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, stat_dtype), feature_shape
+        )
+
+        if use_running_average:
+            mean = (
+                ra_mean.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_mean.value, self.param_dtype)
+            )
+            var = (
+                ra_var.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_var.value, self.param_dtype)
+            )
+        else:
+            mean, var = _N._compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                mask=mask,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+            if not self.is_initializing():
+                # the ONLY divergence from nn.BatchNorm: store raw batch stats
+                ra_mean.value = jnp.asarray(mean, stat_dtype)
+                ra_var.value = jnp.asarray(var, stat_dtype)
+
+        return _N._normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            self.param_dtype,
+            self.epsilon,
+            self.use_bias,
+            self.use_scale,
+            self.bias_init,
+            self.scale_init,
+            self.force_float32_reductions,
+        )
+
+
 class DropPath(nn.Module):
     """Stochastic depth: drop the whole residual branch per sample."""
 

@@ -20,11 +20,12 @@ from ..losses.cgfl import segmentation_loss_aux
 from ..ops.image import adaptive_avg_pool_11, resize_bilinear_auto
 from .hrnet import HRNET_EXTRA, HighResolutionNet
 from .hrt import HRT_CONFIGS, HighResolutionTransformerNet
-from .layers import TorchConv
+from .layers import RawStatBatchNorm, TorchConv
 
 
 class SimpleFusion8(nn.Module):
     in_channels: int
+    defer_bn_ema: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
@@ -33,8 +34,9 @@ class SimpleFusion8(nn.Module):
         ups = [x0] + [resize_bilinear_auto(f, tgt, align_corners=True) for f in feats[1:]]
         x = jnp.concatenate(ups, axis=-1)
         x = TorchConv(self.in_channels, (1, 1), name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         name="bn")(x)
+        cls = RawStatBatchNorm if self.defer_bn_ema else nn.BatchNorm
+        x = cls(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name="bn")(x)
         return nn.relu(x), x0
 
 
@@ -47,11 +49,17 @@ class HRNetFusion(nn.Module):
     loss_config: Mapping = None  # type: ignore[assignment]
     ignore_index: int = -1
     dtype: Any = jnp.float32
+    # Deferred BN running-stat update: every BatchNorm stores raw batch stats and
+    # the trainer applies one fused flat-vector EMA over all ~400 layers per step
+    # (see models/layers.py::RawStatBatchNorm). Arithmetic-identical updates.
+    defer_bn_ema: bool = False
 
     def setup(self):
         if self.hrnet_type in HRT_CONFIGS:
             # HRFormer alternative backbone (`hrt_backbone.py:370`, selected in the
             # reference by swapping the import at `hrnet_encoder.py:7-8`)
+            if self.defer_bn_ema:
+                raise ValueError("defer_bn_ema is not plumbed through the HRT backbone")
             widths = HRT_CONFIGS[self.hrnet_type]["channels"]
             self.backbone = HighResolutionTransformerNet(
                 self.hrnet_type, dtype=self.dtype, name="backbone",
@@ -60,10 +68,11 @@ class HRNetFusion(nn.Module):
             widths = HRNET_EXTRA[self.hrnet_type]["widths"]
             self.backbone = HighResolutionNet(
                 self.hrnet_type, with_transformer=self.with_transformer,
-                dtype=self.dtype, name="backbone",
+                dtype=self.dtype, defer_bn_ema=self.defer_bn_ema, name="backbone",
             )
         self.neck_channels = sum(widths)
-        self.neck = SimpleFusion8(self.neck_channels, name="neck")
+        self.neck = SimpleFusion8(self.neck_channels, defer_bn_ema=self.defer_bn_ema,
+                                  name="neck")
         self.head_conv = nn.Conv(self.classes, (1, 1), name="head_conv")
         self.headaux = nn.Dense(self.classes, name="headaux")
 

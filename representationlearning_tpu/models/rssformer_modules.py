@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import DropPath, TorchConv, fan_out_conv_init, trunc_normal_init
+from .layers import DropPath, RawStatBatchNorm, TorchConv, fan_out_conv_init, trunc_normal_init
 
 
 class _SpatialGateConv(nn.Module):
@@ -215,6 +215,7 @@ class MlpDWBN(nn.Module):
     hidden_features: int
     out_features: int
     dtype: Any = jnp.float32
+    defer_bn_ema: bool = False
 
     @nn.compact
     def __call__(self, x, H: int, W: int, train: bool = False):
@@ -223,8 +224,9 @@ class MlpDWBN(nn.Module):
         h = x.reshape(B, H, W, C)
 
         def bn(v, name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, name=name)(v)
+            cls = RawStatBatchNorm if self.defer_bn_ema else nn.BatchNorm
+            return cls(use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, name=name)(v)
 
         h = TorchConv(self.hidden_features, (1, 1), dtype=self.dtype, name="fc1")(h)
         h = bn(h, "norm1")
@@ -254,6 +256,7 @@ class GeneralTransformerBlock(nn.Module):
     drop_path: float = 0.0
     attn_drop: float = 0.0
     dtype: Any = jnp.float32
+    defer_bn_ema: bool = False
 
     @nn.compact
     def __call__(self, x, y, train: bool = False):
@@ -267,6 +270,7 @@ class GeneralTransformerBlock(nn.Module):
         )(norm1(xt), norm1(yt), H, W, deterministic=not train)
         xt = xt + DropPath(self.drop_path)(a, deterministic=not train)
         m = MlpDWBN(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                    defer_bn_ema=self.defer_bn_ema,
                     name="mlp")(nn.LayerNorm(epsilon=1e-6, name="norm2")(xt), H, W, train=train)
         xt = xt + DropPath(self.drop_path)(m, deterministic=not train)
         return xt.reshape(B, H, W, C)

@@ -17,6 +17,17 @@ def _ocp():
     return ocp
 
 
+def _named_batch_stats(state) -> dict:
+    """The batch_stats collection as a NAMED tree, regardless of storage.
+
+    Deferred-EMA states (`train/state.py::TrainState.bs_unravel`) hold one flat
+    vector internally; checkpoints always store the named per-layer tree so they
+    stay interchangeable with in-place-EMA states and the torch converter.
+    """
+    bs = state.variables.get("batch_stats", {})
+    return dict(bs) if bs else {}
+
+
 def save(ckpt_dir: str, step: int, state) -> str:
     """Save a TrainState (or any pytree) at `ckpt_dir/step_N`."""
     ocp = _ocp()
@@ -24,7 +35,7 @@ def save(ckpt_dir: str, step: int, state) -> str:
     ckptr = ocp.StandardCheckpointer()
     tree = {
         "params": state.params,
-        "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
+        "batch_stats": _named_batch_stats(state),
         "opt_state": state.opt_state,
         "step": np.asarray(int(state.step)),
     }
@@ -50,15 +61,21 @@ def restore(ckpt_dir: str, state, step: int | None = None):
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
     template = {
         "params": state.params,
-        "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
+        "batch_stats": _named_batch_stats(state),
         "opt_state": state.opt_state,
         "step": np.asarray(int(state.step)),
     }
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path, template)
+    new_bs = restored["batch_stats"]
+    if getattr(state, "bs_unravel", None) is not None:
+        # deferred-EMA state: re-flatten the named tree into the flat vector form
+        from jax.flatten_util import ravel_pytree
+
+        new_bs, _ = ravel_pytree(new_bs)
     return state.replace(
         params=restored["params"],
-        batch_stats=restored["batch_stats"],
+        batch_stats=new_bs,
         opt_state=restored["opt_state"],
         step=jax.numpy.asarray(int(restored["step"]), jax.numpy.int32),
     )

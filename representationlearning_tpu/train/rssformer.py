@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, NamedTuple
 
 import jax
+import jax.flatten_util  # noqa: F401  (registers jax.flatten_util)
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,12 +30,20 @@ class RSSFormerTrainConfig(NamedTuple):
     ignore_index: int = -1
 
 
+BN_MOMENTUM = 0.9  # every BN in the RSSFormer stack (hrnet.py::_bn, MlpDWBN, neck)
+
+
 def make_rssformer_train_step(model, cfg: RSSFormerTrainConfig):
+    defer = getattr(model, "defer_bn_ema", False)
+
     @jax.jit
     def train_step(state: TrainState, batch, key):
         def loss_fn(params):
             variables = {"params": params}
-            if state.batch_stats:
+            # Deferred-EMA mode: train-mode RawStatBatchNorm never reads running
+            # stats, so the collection isn't passed in; `mutated` then holds the
+            # RAW batch stats for every layer.
+            if not defer and state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             loss_dict, mutated = model.apply(
                 variables, batch["image"], batch["mask"], train=True,
@@ -46,7 +55,14 @@ def make_rssformer_train_step(model, cfg: RSSFormerTrainConfig):
         (total, (loss_dict, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        new_state = state.apply_gradients(grads, mutated.get("batch_stats", state.batch_stats))
+        if defer:
+            # One fused EMA across all ~400 BN layers (vs ~800 tiny per-layer
+            # dispatches); per element identical to flax's in-module update.
+            flat_raw, _ = jax.flatten_util.ravel_pytree(mutated["batch_stats"])
+            new_bs = BN_MOMENTUM * state.batch_stats + (1.0 - BN_MOMENTUM) * flat_raw
+        else:
+            new_bs = mutated.get("batch_stats", state.batch_stats)
+        new_state = state.apply_gradients(grads, new_bs)
         metrics = dict(loss_dict)
         metrics["total"] = total
         return new_state, metrics
@@ -69,7 +85,11 @@ def create_rssformer_state(model, input_shape, cfg: RSSFormerTrainConfig, seed: 
         schedule=poly_schedule(cfg.base_lr, cfg.max_iters, cfg.power),
         grad_clip_norm=cfg.grad_clip,
     )
-    return TrainState.create(model.apply, variables, tx)
+    state = TrainState.create(model.apply, variables, tx)
+    if getattr(model, "defer_bn_ema", False):
+        flat, unravel = jax.flatten_util.ravel_pytree(variables["batch_stats"])
+        state = state.replace(batch_stats=flat, bs_unravel=unravel)
+    return state
 
 
 def evaluate(model, variables, batches, num_classes: int, tta_transforms=None) -> dict:

@@ -16,6 +16,10 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    # When set, `batch_stats` is stored as ONE flat f32 vector (deferred-EMA BN,
+    # models/layers.py::RawStatBatchNorm) and this callable restores the named
+    # tree for eval/checkpoint consumers via the `variables` property.
+    bs_unravel: Callable | None = struct.field(pytree_node=False, default=None)
 
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -42,6 +46,9 @@ class TrainState(struct.PyTreeNode):
     @property
     def variables(self):
         v = {"params": self.params}
-        if self.batch_stats:
-            v["batch_stats"] = self.batch_stats
+        bs = self.batch_stats
+        if self.bs_unravel is not None:
+            bs = self.bs_unravel(bs)
+        if bs is not None and (not hasattr(bs, "__len__") or len(bs)):
+            v["batch_stats"] = bs
         return v

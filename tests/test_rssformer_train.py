@@ -43,6 +43,39 @@ def test_rssformer_train_loop_decreases():
     assert int(state.step) == 3
 
 
+def test_rssformer_deferred_bn_ema_matches_inplace():
+    """defer_bn_ema=True (RawStatBatchNorm + one fused flat EMA in the train step)
+    must reproduce the default per-layer flax EMA: same losses, same params, and
+    the same running statistics after several steps."""
+    from jax.flatten_util import ravel_pytree
+
+    cfg = RSSFormerTrainConfig(base_lr=0.005, max_iters=100)
+    ds = LoveDADataset(training=True, crop_size=64, synthetic_n=4, synthetic_size=(80, 80))
+    _, imgs, masks = collate_loveda([ds[i] for i in range(4)])
+    batch = {"image": jnp.asarray(imgs), "mask": jnp.asarray(masks)}
+
+    results = {}
+    for defer in (False, True):
+        model = HRNetFusion(hrnet_type="hrnetv2_w18", classes=7,
+                            loss_config={"ce": {}}, defer_bn_ema=defer)
+        state = create_rssformer_state(model, (64, 64, 3), cfg)
+        step_fn = make_rssformer_train_step(model, cfg)
+        for i in range(3):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        bs = state.variables["batch_stats"]
+        results[defer] = (float(metrics["total"]), state.params, bs)
+
+    t0, p0, bs0 = results[False]
+    t1, p1, bs1 = results[True]
+    assert np.isclose(t0, t1, rtol=1e-6)
+    flat0, _ = ravel_pytree(p0)
+    flat1, _ = ravel_pytree(p1)
+    np.testing.assert_allclose(np.asarray(flat0), np.asarray(flat1), rtol=1e-5, atol=1e-7)
+    fb0, _ = ravel_pytree(bs0)
+    fb1, _ = ravel_pytree(bs1)
+    np.testing.assert_allclose(np.asarray(fb0), np.asarray(fb1), rtol=1e-5, atol=1e-7)
+
+
 def test_rssformer_evaluate_with_tta():
     from representationlearning_tpu.infer.tta import HorizontalFlip, Identity
 
