@@ -151,9 +151,9 @@ def convert_mit(sd: Mapping[str, np.ndarray], strict: bool = True) -> dict:
 
 
 # ---------------------------------------------------------------------- TSCD full model
-def convert_tscd(sd: Mapping[str, np.ndarray], strict: bool = True) -> dict:
-    """Trained TSCD checkpoint (`torch.save(tscd.state_dict())`,
-    `SCD-AAAI2023/scripts/dist_train_voc.py:417`) -> TSCD variables."""
+def _encoder_scoped_mit_mapper() -> NameMapper:
+    """A `_mit_mapper` whose outputs are re-scoped under the "encoder" subtree
+    (the TSCD/RML/WeTr wrappers all hold the MiT as `self.encoder`)."""
     M = _mit_mapper("encoder.")
 
     def nest(res, under):
@@ -162,9 +162,14 @@ def convert_tscd(sd: Mapping[str, np.ndarray], strict: bool = True) -> dict:
         coll, path, w = res
         return coll, (under,) + path, w
 
-    # re-scope encoder rules under "encoder"
     enc_rules = list(M.rules)
     M.rules = [(pat, (lambda fn: lambda m, w: nest(fn(m, w), "encoder"))(fn)) for pat, fn in enc_rules]
+    return M
+
+
+def _add_segformer_decoder_rules(M: NameMapper) -> None:
+    """`decoder.*` rules for the SegFormerHead shared by TSCD and the WeTr zoo
+    (`SCD-AAAI2023/network/segformer_head.py` == `RML/backbone/segformer_head.py`)."""
 
     @M.rule(r"decoder\.linear_c([1-4])\.proj\.(weight|bias)")
     def _dec_mlp(m, w):
@@ -195,11 +200,77 @@ def convert_tscd(sd: Mapping[str, np.ndarray], strict: bool = True) -> dict:
         w = t_conv(w) if m.group(1) == "weight" else w
         return "params", ("decoder", "linear_pred", leaf), w
 
+
+def convert_tscd(sd: Mapping[str, np.ndarray], strict: bool = True) -> dict:
+    """Trained TSCD checkpoint (`torch.save(tscd.state_dict())`,
+    `SCD-AAAI2023/scripts/dist_train_voc.py:417`) -> TSCD variables."""
+    M = _encoder_scoped_mit_mapper()
+    _add_segformer_decoder_rules(M)
+
     @M.rule(r"attn_proj\.(weight|bias)")
     def _attn_proj(m, w):
         leaf = "kernel" if m.group(1) == "weight" else "bias"
         w = t_conv(w) if m.group(1) == "weight" else w
         return "params", ("attn_proj", leaf), w
+
+    @M.rule(r"classifier\.weight")
+    def _cls(m, w):
+        return "params", ("classifier", "kernel"), t_conv(w)
+
+    return M.convert(sd, strict=strict)
+
+
+def _add_patm_rules(M: NameMapper, prefix: str = "wave") -> None:
+    """PATM wave-block rules (`RML/backbone/wavemlp.py:133-185`, mode='fc'):
+    1x1 convs (fc_h/fc_w/fc_c/theta_*_conv/proj), grouped 1x7 / 7x1 token-FC
+    convs (tfc_h/tfc_w), and the two-conv reweight Mlp -> reweight_fc{1,2}."""
+    P = re.escape(prefix)
+
+    @M.rule(P + r"\.(fc_[hwc]|theta_[hw]_conv|proj|tfc_[hw])\.(weight|bias)")
+    def _wave_conv(m, w):
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        w = t_conv(w) if m.group(2) == "weight" else w
+        return "params", (prefix, m.group(1), leaf), w
+
+    @M.rule(P + r"\.reweight\.fc([12])\.(weight|bias)")
+    def _wave_reweight(m, w):
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        w = t_conv(w) if m.group(2) == "weight" else w
+        return "params", (prefix, f"reweight_fc{m.group(1)}", leaf), w
+
+
+def convert_wetr_attn_aff(sd: Mapping[str, np.ndarray], attn_source: str,
+                          wave_mode: str, strict: bool = True) -> dict:
+    """`RML/backbone/model_attn_aff.py` WeTr-zoo checkpoint -> `WeTrAttnAff`
+    variables. `attn_source`/`wave_mode` name the grid point (see the module
+    docstring, `models/rml.py::WeTrAttnAff`); params the variant defines but its
+    live forward never uses (WeTr599/603's `wave` and `classifier2`) are dropped."""
+    M = _encoder_scoped_mit_mapper()
+    _add_segformer_decoder_rules(M)
+
+    if wave_mode == "none":
+        @M.rule(r"(wave\..*|classifier2\.weight)")
+        def _drop_dead(m, w):
+            return None
+    else:
+        _add_patm_rules(M, "wave")
+        if wave_mode == "post_cls":
+            @M.rule(r"classifier2\.weight")
+            def _cls2(m, w):
+                return "params", ("classifier2", "kernel"), t_conv(w)
+        else:
+            @M.rule(r"classifier2\.weight")
+            def _drop_cls2(m, w):
+                return None
+
+    @M.rule(r"attn_proj(1?)\.(weight|bias)")
+    def _attn_proj(m, w):
+        name = f"attn_proj{m.group(1)}"
+        if m.group(1) and attn_source == "attns":
+            return None  # attn_proj1 unused when the affinity head reads raw attns
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        w = t_conv(w) if m.group(2) == "weight" else w
+        return "params", (name, leaf), w
 
     @M.rule(r"classifier\.weight")
     def _cls(m, w):

@@ -19,6 +19,7 @@ from ..core.registry import MODELS
 from ..ops.image import adaptive_avg_pool_11, adaptive_max_pool_11, resize_bilinear
 from .layers import TorchConv
 from .mit import MIT_CONFIGS, MixVisionTransformer
+from .segformer_head import SegFormerHead
 from .wavemlp import PATM
 
 
@@ -112,3 +113,95 @@ class ClassPredictor(nn.Module):
         correct = ((pred == jnp.arange(C)[None, :]) * mask).sum()
         acc = correct / jnp.maximum(mask.sum(), 1.0)
         return loss, acc
+
+
+@MODELS.register("wetr_attn_aff")
+class WeTrAttnAff(nn.Module):
+    """The WeTr attention-affinity research zoo (`RML/backbone/model_attn_aff.py`,
+    974 LoC / 5 classes) reduced to two structural axes. The live (uncommented)
+    forward of every constructable class is one point in this grid:
+
+    | reference class      | attn_source | wave_mode  | notes |
+    |---|---|---|---|
+    | WeTr2   (`:85-262`)  | "attns"     | "post_cls" | wave+classifier2 on pooled logits; CAM is the 1x1 classifier2 output (`:245`, classifier2 has no bias so F.conv2d == the module) |
+    | WeTr599 (`:318-481`) | "x4_last"   | "none"     | dead `wave`/`classifier2` params (defined, never used in forward) |
+    | WeTr522 (`:536-559`) | —           | —          | defines only a forward, NO __init__ — unconstructable dead code |
+    | WeTr603 (`:561-709`) | "x4_prev"   | "none"     | dead `wave`/`classifier2` params |
+    | WeTr    (`:765-913`) | "x4_prev"   | "stage4"   | the final variant: PATM(512) on stage-4 features (`:838`) |
+
+    attn_source — what feeds the 16->1 `attn_proj` affinity head:
+      "attns":   concat of the last two exported stage-4 attention maps (`:219`);
+      "x4_last": `attn_proj1(x4)` (512->8) bilinearly upsampled (align_corners=True)
+                 to the attention token grid, concat with `_attns[-1]` (`:410-413`);
+      "x4_prev": same but concat with `_attns[-2]` (`:638-641`, `:842-845`).
+    wave_mode — where the PATM wave block sits:
+      "none"; "stage4": x4 = PATM(x4) feeding attn/cls/CAM — but NOT the decoder,
+      which reads the pre-wave stage-4 map (the reference rebinds the local `_x4`
+      AFTER unpacking the `_x` list the decoder consumes, `:836-840`);
+      "post_cls": PATM on the pooled (B,1,1,C-1) class logits, then `classifier2`.
+    """
+
+    backbone: str = "mit_b1"
+    num_classes: int = 21
+    embedding_dim: int = 256
+    strides: tuple = (4, 2, 2, 1)
+    pooling: str = "gmp"
+    attn_source: str = "x4_prev"
+    wave_mode: str = "stage4"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.attn_source not in ("attns", "x4_last", "x4_prev"):
+            raise ValueError(f"unknown attn_source {self.attn_source!r}")
+        if self.wave_mode not in ("none", "stage4", "post_cls"):
+            raise ValueError(f"unknown wave_mode {self.wave_mode!r}")
+        cfg = dict(MIT_CONFIGS[self.backbone])
+        self.encoder = MixVisionTransformer(
+            strides=self.strides, dtype=self.dtype, **cfg, name="encoder")
+        self.decoder = SegFormerHead(
+            num_classes=self.num_classes, embedding_dim=self.embedding_dim,
+            dtype=self.dtype, name="decoder")
+        self.attn_proj = nn.Conv(1, (1, 1), use_bias=True, name="attn_proj")
+        if self.attn_source != "attns":
+            self.attn_proj1 = nn.Conv(8, (1, 1), use_bias=True, name="attn_proj1")
+        self.classifier = nn.Conv(self.num_classes - 1, (1, 1), use_bias=False,
+                                  name="classifier")
+        if self.wave_mode == "post_cls":
+            self.classifier2 = nn.Conv(self.num_classes - 1, (1, 1), use_bias=False,
+                                       name="classifier2")
+            self.wave = PATM(self.num_classes - 1, name="wave")
+        elif self.wave_mode == "stage4":
+            self.wave = PATM(cfg["embed_dims"][3], name="wave")
+
+    def __call__(self, x, cam_only: bool = False, train: bool = False):
+        feats, attns = self.encoder(x, deterministic=not train)
+        x4 = feats[3]
+        if self.wave_mode == "stage4":
+            x4 = self.wave(x4, train=train)
+
+        if self.attn_source == "attns":
+            attn_cat = jnp.concatenate(attns[-2:], axis=1).transpose(0, 2, 3, 1)
+        else:
+            other = attns[-1] if self.attn_source == "x4_last" else attns[-2]
+            nk = other.shape[3]
+            x4a = self.attn_proj1(x4)
+            x4a = resize_bilinear(x4a, (nk, nk), align_corners=True)
+            attn_cat = jnp.concatenate([other.transpose(0, 2, 3, 1), x4a], axis=-1)
+        attn_pred = jax.nn.sigmoid(self.attn_proj(attn_cat)[..., 0])
+
+        pooled = adaptive_max_pool_11(x4) if self.pooling == "gmp" \
+            else adaptive_avg_pool_11(x4)
+        cls = self.classifier(pooled)
+        if self.wave_mode == "post_cls":
+            cls = self.classifier2(self.wave(cls, train=train))
+
+        if cam_only:
+            # classifier/classifier2 are bias-free, so the reference's raw
+            # F.conv2d(...).detach() equals the module application
+            cam = cls if self.wave_mode == "post_cls" else self.classifier(x4)
+            return jax.lax.stop_gradient(cam), attn_pred
+
+        # the decoder consumes the PRE-wave stage-4 map in every variant
+        seg = self.decoder(feats, train=train)
+        cls = cls.reshape(x.shape[0], self.num_classes - 1)
+        return cls, seg, attns, attn_pred

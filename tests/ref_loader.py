@@ -262,6 +262,17 @@ def load_drfl_dcl():
     return dcl
 
 
+def load_rml_attn_aff():
+    """Import RML's WeTr attention-affinity zoo (`RML/backbone/model_attn_aff.py`).
+    Imported as the `backbone` package so its relative imports (.segformer_head,
+    .mix_transformer) and the absolute `from backbone.wavemlp import PATM` resolve."""
+    install_torch_stubs()
+    _path_front(RML_ROOT)
+    import backbone.model_attn_aff as model_attn_aff  # noqa: E402
+
+    return model_attn_aff
+
+
 def load_rml_par_zoo():
     """Import RML's PAR experiment zoo (`RML/backbone/PAR.py`, parameter-free
     refinement modules) plus the load-bearing `RML/network/PAR.py` module."""

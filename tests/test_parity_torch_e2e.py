@@ -156,3 +156,41 @@ def test_hrt_small_backbone_e2e_parity(rng):
     assert len(j_feats) == len(t_feats) == 4
     for jf, tf in zip(j_feats, t_feats):
         assert _maxdiff(jf, _to_nhwc(tf)) < TOL
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ref_cls,attn_source,wave_mode", [
+    ("WeTr2", "attns", "post_cls"),
+    ("WeTr599", "x4_last", "none"),
+    ("WeTr603", "x4_prev", "none"),
+    ("WeTr", "x4_prev", "stage4"),
+])
+def test_wetr_attn_aff_zoo_e2e_parity(rng, ref_cls, attn_source, wave_mode):
+    """Every constructable class of `RML/backbone/model_attn_aff.py` (the WeTr
+    attention-affinity research zoo) against `WeTrAttnAff`'s two config axes.
+    WeTr522 is excluded: it defines only a forward, no __init__ (dead code)."""
+    from representationlearning_tpu.models.rml import WeTrAttnAff
+
+    maa = ref_loader.load_rml_attn_aff()
+    torch.manual_seed(0)
+    tm = getattr(maa, ref_cls)("mit_b1", num_classes=21, stride=[4, 2, 2, 1],
+                               pooling="gmp")
+    tm.eval()
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_cls, t_seg, t_attns, t_attn_pred = tm(_nchw(x))
+        t_cam, t_attn_pred2 = tm(_nchw(x), cam_only=True)
+
+    variables = C.convert_wetr_attn_aff(
+        C.state_dict_to_numpy(tm.state_dict()),
+        attn_source=attn_source, wave_mode=wave_mode)
+    model = WeTrAttnAff(backbone="mit_b1", num_classes=21, pooling="gmp",
+                        attn_source=attn_source, wave_mode=wave_mode)
+    j_cls, j_seg, j_attns, j_attn_pred = model.apply(variables, jnp.asarray(x))
+    j_cam, _ = model.apply(variables, jnp.asarray(x), cam_only=True)
+
+    assert _maxdiff(j_cls, t_cls.numpy()) < TOL
+    assert _maxdiff(j_seg, _to_nhwc(t_seg)) < TOL
+    assert _maxdiff(j_attn_pred, t_attn_pred.numpy()) < TOL
+    assert _maxdiff(j_cam, _to_nhwc(t_cam)) < TOL
