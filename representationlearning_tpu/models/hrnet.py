@@ -139,6 +139,7 @@ class HighResolutionModule(nn.Module):
     multi_scale_output: bool = True
     dtype: Any = jnp.float32
     defer_bn_ema: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -185,6 +186,7 @@ class HighResolutionModule(nn.Module):
                 y = GeneralTransformerBlock(self.channels[0], num_heads=2,
                                             dtype=self.dtype,
                                             defer_bn_ema=self.defer_bn_ema,
+                                            fused_mlp=self.fused_mlp,
                                             name="transformer")(low, y, train=train)
             else:
                 y = y + low
@@ -231,6 +233,7 @@ class HighResolutionNet(nn.Module):
     with_transformer: bool = True
     dtype: Any = jnp.float32
     defer_bn_ema: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -266,6 +269,7 @@ class HighResolutionNet(nn.Module):
                     n_branches, cur, STAGE_BLOCKS,
                     with_transformer=self.with_transformer,
                     dtype=self.dtype, defer_bn_ema=self.defer_bn_ema,
+                    fused_mlp=self.fused_mlp,
                     name=f"stage{stage}_m{m}",
                 )(feats, train)
             prev = cur

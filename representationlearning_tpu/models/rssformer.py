@@ -53,6 +53,10 @@ class HRNetFusion(nn.Module):
     # the trainer applies one fused flat-vector EMA over all ~400 layers per step
     # (see models/layers.py::RawStatBatchNorm). Arithmetic-identical updates.
     defer_bn_ema: bool = False
+    # fused_mlp=True runs each transformer block's MlpDWBN FFN (~96% of the
+    # block FLOPs at predict) as one whole-FFN pallas kernel at inference
+    # (ops/pallas/mlp_dwbn.py); identical param tree, train-mode unaffected.
+    fused_mlp: bool = False
 
     def setup(self):
         if self.hrnet_type in HRT_CONFIGS:
@@ -68,7 +72,8 @@ class HRNetFusion(nn.Module):
             widths = HRNET_EXTRA[self.hrnet_type]["widths"]
             self.backbone = HighResolutionNet(
                 self.hrnet_type, with_transformer=self.with_transformer,
-                dtype=self.dtype, defer_bn_ema=self.defer_bn_ema, name="backbone",
+                dtype=self.dtype, defer_bn_ema=self.defer_bn_ema,
+                fused_mlp=self.fused_mlp, name="backbone",
             )
         self.neck_channels = sum(widths)
         self.neck = SimpleFusion8(self.neck_channels, defer_bn_ema=self.defer_bn_ema,

@@ -211,16 +211,59 @@ class InterlacedPoolAttention2(nn.Module):
         return out.reshape(B, N, C)
 
 
+class _BNAffineParams(nn.Module):
+    """Param holder matching nn.BatchNorm's variable tree (params scale/bias +
+    batch_stats mean/var) that returns the folded inference affine (g, shift).
+    Lets the fused MlpDWBN path own BN variables without running the op."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        from ..ops.pallas.mlp_dwbn import fold_bn_affine
+
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.dim,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.dim,), jnp.float32))
+        return fold_bn_affine(scale, bias, mean.value, var.value)
+
+
 class MlpDWBN(nn.Module):
     hidden_features: int
     out_features: int
     dtype: Any = jnp.float32
     defer_bn_ema: bool = False
+    # fused=True routes INFERENCE through the whole-FFN pallas kernel
+    # (ops/pallas/mlp_dwbn.py) with an identical parameter tree; train-mode
+    # calls always take the XLA path below (BN batch stats need the batch dim).
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, H: int, W: int, train: bool = False):
         """x: (B, N, C) tokens. Returns (B, N, out_features)."""
         B, N, C = x.shape
+        if self.fused and not train:
+            from ..ops.pallas.mlp_dwbn import fused_mlp_dwbn
+            from .mit import _ConvParams
+
+            hid, out = self.hidden_features, self.out_features
+            p = {}
+            k, p["fc1_bias"] = _ConvParams((1, 1, C, hid), name="fc1")()
+            p["fc1_kernel"] = k[0, 0]
+            p["bn1_scale"], p["bn1_shift"] = _BNAffineParams(hid, name="norm1")()
+            k, b1 = _ConvParams((1, 1, hid, hid), name="dw")()
+            p["dw1_kernel"] = k[0, 0]
+            p["dw6_kernel"], b6 = _ConvParams((3, 3, hid, hid), name="dw6")()
+            p["dw12_kernel"], b12 = _ConvParams((3, 3, hid, hid), name="dw12")()
+            p["dw_bias"] = b1 + b6 + b12
+            p["bn2_scale"], p["bn2_shift"] = _BNAffineParams(hid, name="norm2")()
+            k, p["fc2_bias"] = _ConvParams((1, 1, hid, out), name="fc2")()
+            p["fc2_kernel"] = k[0, 0]
+            p["bn3_scale"], p["bn3_shift"] = _BNAffineParams(out, name="norm3")()
+            return fused_mlp_dwbn(x, p, H=H, W=W, dtype=self.dtype)
         h = x.reshape(B, H, W, C)
 
         def bn(v, name):
@@ -257,6 +300,7 @@ class GeneralTransformerBlock(nn.Module):
     attn_drop: float = 0.0
     dtype: Any = jnp.float32
     defer_bn_ema: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, y, train: bool = False):
@@ -270,7 +314,7 @@ class GeneralTransformerBlock(nn.Module):
         )(norm1(xt), norm1(yt), H, W, deterministic=not train)
         xt = xt + DropPath(self.drop_path)(a, deterministic=not train)
         m = MlpDWBN(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
-                    defer_bn_ema=self.defer_bn_ema,
+                    defer_bn_ema=self.defer_bn_ema, fused=self.fused_mlp,
                     name="mlp")(nn.LayerNorm(epsilon=1e-6, name="norm2")(xt), H, W, train=train)
         xt = xt + DropPath(self.drop_path)(m, deterministic=not train)
         return xt.reshape(B, H, W, C)
