@@ -32,7 +32,9 @@ from ..utils.visualize import save_palette_png
 def default_config() -> Config:
     return Config({
         "model": {"hrnet_type": "hrnetv2_w32", "classes": 7, "loss": {"ce": {}},
-                   "defer_bn_ema": True},
+                   "defer_bn_ema": True,
+                   # inference-only whole-FFN pallas kernel (ops/pallas/mlp_dwbn.py)
+                   "fused_mlp": False},
         "data": {"image_dir": None, "mask_dir": None, "crop_size": 512,
                   "batch_size": 8, "synthetic_n": 16},
         "learning_rate": {"base_lr": 0.01, "power": 0.9, "max_iters": 30000},
@@ -46,8 +48,11 @@ def default_config() -> Config:
 def _build(cfg):
     defer = bool(cfg.model.get("defer_bn_ema", True)) and \
         cfg.model.hrnet_type.startswith("hrnetv2")
+    fused_mlp = bool(cfg.model.get("fused_mlp", False)) and \
+        cfg.model.hrnet_type.startswith("hrnetv2")
     model = HRNetFusion(hrnet_type=cfg.model.hrnet_type, classes=cfg.model.classes,
-                        loss_config=cfg.model.loss.to_dict(), defer_bn_ema=defer)
+                        loss_config=cfg.model.loss.to_dict(), defer_bn_ema=defer,
+                        fused_mlp=fused_mlp)
     tcfg = RSSFormerTrainConfig(
         base_lr=cfg.learning_rate.base_lr, power=cfg.learning_rate.power,
         max_iters=cfg.learning_rate.max_iters, momentum=cfg.optimizer.momentum,
