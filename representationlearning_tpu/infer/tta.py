@@ -12,7 +12,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.image import resize_bilinear
+from ..ops.image import resize_bilinear_auto
 
 
 class Transform:
@@ -79,10 +79,10 @@ class Scale(Transform):
             size = self.size
         else:
             size = (int(x.shape[1] * self.scale_factor), int(x.shape[2] * self.scale_factor))
-        return resize_bilinear(x, size, align_corners=True)
+        return resize_bilinear_auto(x, size, align_corners=True)
 
     def inv_transform(self, x):
-        return resize_bilinear(x, self._orig, align_corners=True)
+        return resize_bilinear_auto(x, self._orig, align_corners=True)
 
 
 def default_tta_config(scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75)):

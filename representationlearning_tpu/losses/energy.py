@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.bilateral import bilateral_filter_batch
-from ..ops.image import resize_bilinear, resize_nearest
+from ..ops.image import resize_bilinear_auto, resize_nearest
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -71,7 +71,7 @@ def dense_energy_loss(
     B, H, W, _ = images.shape
     h, w = int(H * scale_factor), int(W * scale_factor)
     imgs = resize_nearest(images, (h, w))  # F.interpolate default mode
-    segs = resize_bilinear(probs, (h, w), align_corners=False)
+    segs = resize_bilinear_auto(probs, (h, w), align_corners=False)
     rois_s = resize_nearest(rois[..., None], (h, w))[..., 0]
     label_s = resize_nearest(seg_label[..., None].astype(jnp.float32), (h, w))[..., 0]
     unlabeled = label_s.astype(jnp.int32) == ignore_index

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.image import resize_bilinear
+from ..ops.image import resize_bilinear_auto
 
 
 def torch_kl_div_mean(inp: jax.Array, target: jax.Array) -> jax.Array:
@@ -83,8 +83,8 @@ def apml_mi_terms(attn_pred1: jax.Array, attn_pred2: jax.Array,
     """APML MI correction (`:371-386`): -100*((feat-label MI) - (feat-feat MI)) in both
     directions. attn_pred{1,2}: (B, N, N) affinity maps; refined_label (B, H, W)."""
     H, W = refined_label.shape[1:3]
-    a1 = resize_bilinear(attn_pred1[..., None], (H, W), align_corners=True)[..., 0]
-    a2 = resize_bilinear(attn_pred2[..., None], (H, W), align_corners=True)[..., 0]
+    a1 = resize_bilinear_auto(attn_pred1[..., None], (H, W), align_corners=True)[..., 0]
+    a2 = resize_bilinear_auto(attn_pred2[..., None], (H, W), align_corners=True)[..., 0]
     y = refined_label.astype(jnp.float32)
     lossmi = feat_feat_mi_estimation(a1[..., None], a2[..., None], dim=1)
     lossmil = feat_label_mi_estimation(a1, y)

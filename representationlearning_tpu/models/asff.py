@@ -14,7 +14,7 @@ from flax import linen as nn
 
 from ..core.registry import MODELS
 from ..losses.cgfl import segmentation_loss
-from ..ops.image import resize_bilinear, resize_nearest
+from ..ops.image import resize_bilinear_auto, resize_nearest
 from .hrnet import HRNET_EXTRA, HighResolutionNet
 from .layers import TorchConv
 
@@ -84,7 +84,7 @@ class RsNetFusion(nn.Module):
         fused = ASFF(name="neck")(feats)
         logit = nn.Conv(self.classes, (1, 1), name="head_conv")(fused)
         H, W = logit.shape[1] * self.upsample_scale, logit.shape[2] * self.upsample_scale
-        logit = resize_bilinear(logit, (H, W), align_corners=True)
+        logit = resize_bilinear_auto(logit, (H, W), align_corners=True)
         if train:
             return segmentation_loss(logit, y, self.loss_config or {"ce": {}}, self.ignore_index)
         return jax.nn.softmax(logit, axis=-1)
@@ -108,14 +108,14 @@ class HRNetFusion2(nn.Module):
         feats = HighResolutionNet(self.hrnet_type, with_transformer=self.with_transformer,
                                   dtype=self.dtype, name="backbone")(x, train=train)
         tgt = feats[0].shape[1:3]
-        ups = [feats[0]] + [resize_bilinear(f, tgt, align_corners=True) for f in feats[1:]]
+        ups = [feats[0]] + [resize_bilinear_auto(f, tgt, align_corners=True) for f in feats[1:]]
         h = jnp.concatenate(ups, axis=-1)
         h = TorchConv(sum(widths), (1, 1), name="fuse_conv")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="fuse_bn")(h)
         h = nn.relu(h)
         logit = nn.Conv(self.classes, (1, 1), name="head_conv")(h)
         H, W = logit.shape[1] * self.upsample_scale, logit.shape[2] * self.upsample_scale
-        logit = resize_bilinear(logit, (H, W), align_corners=True)
+        logit = resize_bilinear_auto(logit, (H, W), align_corners=True)
         if train:
             return segmentation_loss(logit, y, self.loss_config or {"ce": {}}, self.ignore_index)
         return jax.nn.softmax(logit, axis=-1)

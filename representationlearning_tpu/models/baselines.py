@@ -18,7 +18,7 @@ from flax import linen as nn
 
 from ..core.registry import MODELS
 from ..losses.cgfl import segmentation_loss
-from ..ops.image import adaptive_avg_pool_11, resize_bilinear
+from ..ops.image import adaptive_avg_pool_11, resize_bilinear_auto
 from .layers import TorchConv
 from .resnet import ResNet50Backbone, resnet50_config
 
@@ -44,7 +44,7 @@ class FPN(nn.Module):
         outs[-1] = TorchConv(self.out_channels, (3, 3), padding=(1, 1),
                              name=f"layer{len(feats)}")(last)
         for i in range(len(feats) - 2, -1, -1):
-            up = resize_bilinear(last, laterals[i].shape[1:3], align_corners=False)
+            up = resize_bilinear_auto(last, laterals[i].shape[1:3], align_corners=False)
             last = laterals[i] + up
             outs[i] = TorchConv(self.out_channels, (3, 3), padding=(1, 1),
                                 name=f"layer{i+1}")(last)
@@ -74,7 +74,7 @@ class AsymmetricDecoder(nn.Module):
                 h = _bn(train, f"b{i}_bn{k}")(h)
                 h = nn.relu(h)
                 if n_up:
-                    h = resize_bilinear(h, (h.shape[1] * 2, h.shape[2] * 2),
+                    h = resize_bilinear_auto(h, (h.shape[1] * 2, h.shape[2] * 2),
                                         align_corners=True)
             outs.append(h)
         return sum(outs) / 4.0
@@ -125,7 +125,7 @@ class FarSegV1(nn.Module):
         rel_feats = FSRelation(name="fsr")(feats[-1], fpn_feats, train)
         dec = AsymmetricDecoder(self.decoder_channels, name="decoder")(rel_feats, train)
         logit = nn.Conv(self.classes, (1, 1), name="cls_head")(dec)
-        logit = resize_bilinear(logit, x.shape[1:3], align_corners=True)
+        logit = resize_bilinear_auto(logit, x.shape[1:3], align_corners=True)
         return _loss_or_softmax(logit, y, train, self.loss_config)
 
 
@@ -146,10 +146,10 @@ class SemanticFPN(nn.Module):
             h = TorchConv(self.seg_channels, (3, 3), padding=(1, 1), use_bias=False,
                           name=f"seg{i}_conv")(f)
             h = nn.relu(_bn(train, f"seg{i}_bn")(h))
-            h = resize_bilinear(h, tgt, align_corners=False)
+            h = resize_bilinear_auto(h, tgt, align_corners=False)
             merged = h if merged is None else merged + h
         logit = nn.Conv(self.classes, (1, 1), name="cls_head")(merged)
-        logit = resize_bilinear(logit, x.shape[1:3], align_corners=True)
+        logit = resize_bilinear_auto(logit, x.shape[1:3], align_corners=True)
         return _loss_or_softmax(logit, y, train, self.loss_config)
 
 
@@ -172,7 +172,7 @@ class PSPModule(nn.Module):
             ).mean(axis=(2, 4))
             pooled = TorchConv(x.shape[-1] // len(self.sizes), (1, 1), use_bias=False,
                                name=f"stage{s}")(pooled)
-            pieces.append(resize_bilinear(pooled, (H, W), align_corners=True))
+            pieces.append(resize_bilinear_auto(pooled, (H, W), align_corners=True))
         h = jnp.concatenate(pieces, axis=-1)
         h = TorchConv(self.out_channels, (3, 3), padding=(1, 1), name="bottleneck")(h)
         return nn.relu(h)
@@ -190,12 +190,12 @@ class PSPNet(nn.Module):
         p = nn.Dropout(0.3)(p, deterministic=not train)
         for i, ch in enumerate((256, 64, 64)):
             p = TorchConv(ch, (3, 3), padding=(1, 1), name=f"up{i}_conv")(
-                resize_bilinear(p, (p.shape[1] * 2, p.shape[2] * 2), align_corners=False)
+                resize_bilinear_auto(p, (p.shape[1] * 2, p.shape[2] * 2), align_corners=False)
             )
             p = nn.PReLU()(_bn(train, f"up{i}_bn")(p))
             p = nn.Dropout(0.15)(p, deterministic=not train)
         logit = nn.Conv(self.classes, (1, 1), name="final")(p)
-        logit = resize_bilinear(logit, x.shape[1:3], align_corners=False)
+        logit = resize_bilinear_auto(logit, x.shape[1:3], align_corners=False)
         return _loss_or_softmax(logit, y, train, self.loss_config)
 
 
@@ -235,9 +235,9 @@ class FCN8s(nn.Module):
         score_fr = nn.Conv(self.classes, (1, 1), name="head_cls")(head)
         score_p4 = nn.Conv(self.classes, (1, 1), name="score_pool4")(pool4)
         score_p3 = nn.Conv(self.classes, (1, 1), name="score_pool3")(pool3)
-        up2 = resize_bilinear(score_fr, score_p4.shape[1:3], align_corners=True) + score_p4
-        up4 = resize_bilinear(up2, score_p3.shape[1:3], align_corners=True) + score_p3
-        logit = resize_bilinear(up4, x.shape[1:3], align_corners=True)
+        up2 = resize_bilinear_auto(score_fr, score_p4.shape[1:3], align_corners=True) + score_p4
+        up4 = resize_bilinear_auto(up2, score_p3.shape[1:3], align_corners=True) + score_p3
+        logit = resize_bilinear_auto(up4, x.shape[1:3], align_corners=True)
         return _loss_or_softmax(logit, y, train, self.loss_config)
 
 
@@ -267,7 +267,7 @@ class AnyUNet(nn.Module):
                                                    use_bias=False, name="mid_c")(h)))
         for d in range(self.depth - 1, -1, -1):
             ch = self.base * (2 ** d)
-            h = resize_bilinear(h, skips[d].shape[1:3], align_corners=False)
+            h = resize_bilinear_auto(h, skips[d].shape[1:3], align_corners=False)
             h = jnp.concatenate([h, skips[d]], axis=-1)
             h = nn.relu(_bn(train, f"d{d}_bn")(TorchConv(ch, (3, 3), padding=(1, 1),
                                                          use_bias=False, name=f"d{d}_c")(h)))
@@ -300,8 +300,8 @@ class FactSeg(nn.Module):
         bi = AsymmetricDecoder(self.decoder_channels, name="bi_decoder")(bi_feats, train)
         fg_pred = nn.Conv(self.classes, (1, 1), name="fg_cls")(fg)
         bi_pred = nn.Conv(1, (1, 1), name="bi_cls")(bi)
-        fg_pred = resize_bilinear(fg_pred, x.shape[1:3], align_corners=True)
-        bi_pred = resize_bilinear(bi_pred, x.shape[1:3], align_corners=True)
+        fg_pred = resize_bilinear_auto(fg_pred, x.shape[1:3], align_corners=True)
+        bi_pred = resize_bilinear_auto(bi_pred, x.shape[1:3], align_corners=True)
 
         if train:
             cls_loss = cross_entropy_ignore(fg_pred, y, self.ignore_index)
@@ -357,7 +357,7 @@ class SemanticFPNDecouple(nn.Module):
         fpn_feats = FPN(self.fpn_channels, name="fpn")(feats, train)
         dec = AsymmetricDecoder(self.decoder_channels, name="decoder")(fpn_feats, train)
         pred = nn.Conv(self.classes - 1, (1, 1), name="cls_pred")(dec)
-        pred = resize_bilinear(pred, x.shape[1:3], align_corners=True)
+        pred = resize_bilinear_auto(pred, x.shape[1:3], align_corners=True)
         if train:
             return {"multi_binary": multi_binary_loss(
                 pred, y, self.classes - 1, self.bce_scaler, self.dice_scaler,

@@ -19,7 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..core.registry import MODELS
-from ..ops.image import resize_bilinear
+from ..ops.image import resize_bilinear_auto
 from ..wsss.indexing import PathIndex, edge_to_affinity
 from .resnet import ResNet50Backbone, resnet50_config
 
@@ -35,7 +35,7 @@ class _ConvGN(nn.Module):
         x = nn.GroupNorm(num_groups=self.groups)(x)
         if self.upsample > 1:
             H, W = x.shape[1] * self.upsample, x.shape[2] * self.upsample
-            x = resize_bilinear(x, (H, W), align_corners=False)
+            x = resize_bilinear_auto(x, (H, W), align_corners=False)
         return nn.relu(x)
 
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.image import resize_bilinear
+from ..ops.image import resize_bilinear_auto
 
 # neighbor offsets in reference kernel order (`VARM.py:6-20`): row-major 3x3 minus center
 _OFFSETS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
@@ -103,7 +103,7 @@ def varm_refine(
     w2: float = 0.01,
 ) -> jax.Array:
     """VARM: refine `masks` (B,h,w,C) against `imgs` (B,H,W,3); returns (B,H,W,C)."""
-    masks = resize_bilinear(masks, imgs.shape[1:3], align_corners=True)
+    masks = resize_bilinear_auto(masks, imgs.shape[1:3], align_corners=True)
     nb = dilated_neighbors(imgs, dilations)  # (B,H,W,K,3)
 
     # local-variation term: squared diff to the next row/col of the *neighbor* tensor,
@@ -130,7 +130,7 @@ def par_refine(
     w2: float = 0.01,
 ) -> jax.Array:
     """PAR: image affinity + w2 * position affinity (`RML/network/PAR.py:65-91`)."""
-    masks = resize_bilinear(masks, imgs.shape[1:3], align_corners=True)
+    masks = resize_bilinear_auto(masks, imgs.shape[1:3], align_corners=True)
     nb = dilated_neighbors(imgs, dilations)
     center = imgs[:, :, :, None, :]
     aff = -((jnp.abs(nb - center) / (_unbiased_std(nb, 3) + 1e-8)) / w1) ** 2
@@ -154,7 +154,7 @@ def pamr_refine(
     w1: float = 0.3,
 ) -> jax.Array:
     """PAMR: image affinity only (`RML/network/PAR.py:131-147`)."""
-    masks = resize_bilinear(masks, imgs.shape[1:3], align_corners=True)
+    masks = resize_bilinear_auto(masks, imgs.shape[1:3], align_corners=True)
     nb = dilated_neighbors(imgs, dilations)
     center = imgs[:, :, :, None, :]
     aff = -((jnp.abs(nb - center) / (_unbiased_std(nb, 3) + 1e-8)) / w1) ** 2
@@ -196,7 +196,7 @@ def par_variant_refine(
     affinity), PAR2b (per-pixel division by the mask TV map) and the
     PAR3ey/3f/4 pandas-skewness dead ends, documented with diffs in PARITY.md.
     """
-    masks = resize_bilinear(masks, imgs.shape[1:3], align_corners=True)
+    masks = resize_bilinear_auto(masks, imgs.shape[1:3], align_corners=True)
     nb = dilated_neighbors(imgs, dilations)
     center = imgs[:, :, :, None, :]
     diff = jnp.abs(nb - center)

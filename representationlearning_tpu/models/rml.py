@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.registry import MODELS
-from ..ops.image import adaptive_avg_pool_11, adaptive_max_pool_11, resize_bilinear
+from ..ops.image import adaptive_avg_pool_11, adaptive_max_pool_11, resize_bilinear_auto
 from .layers import TorchConv
 from .mit import MIT_CONFIGS, MixVisionTransformer
 from .segformer_head import SegFormerHead
@@ -33,7 +33,7 @@ class SimpleFusionNeck(nn.Module):
     def __call__(self, feats, train: bool = False):
         x0 = feats[0]
         tgt = x0.shape[1:3]
-        ups = [x0] + [resize_bilinear(f, tgt, align_corners=True) for f in feats[1:]]
+        ups = [x0] + [resize_bilinear_auto(f, tgt, align_corners=True) for f in feats[1:]]
         x = jnp.concatenate(ups, axis=-1)
         x = TorchConv(self.out_ch, (1, 1), name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
@@ -185,7 +185,7 @@ class WeTrAttnAff(nn.Module):
             other = attns[-1] if self.attn_source == "x4_last" else attns[-2]
             nk = other.shape[3]
             x4a = self.attn_proj1(x4)
-            x4a = resize_bilinear(x4a, (nk, nk), align_corners=True)
+            x4a = resize_bilinear_auto(x4a, (nk, nk), align_corners=True)
             attn_cat = jnp.concatenate([other.transpose(0, 2, 3, 1), x4a], axis=-1)
         attn_pred = jax.nn.sigmoid(self.attn_proj(attn_cat)[..., 0])
 

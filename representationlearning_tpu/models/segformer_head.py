@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.image import resize_bilinear
+from ..ops.image import resize_bilinear_auto
 from .layers import fan_out_conv_init, trunc_normal_init
 
 
@@ -49,7 +49,7 @@ class _SlicedFuseConv(nn.Module):
             off += cin
             f = jnp.einsum("bhwc,cf->bhwf", e, w.astype(e.dtype))
             if f.shape[1:3] != tuple(tgt):
-                f = resize_bilinear(f, tgt, align_corners=False)
+                f = resize_bilinear_auto(f, tgt, align_corners=False)
             acc = f if acc is None else acc + f
         return acc
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.registry import MODELS
-from ..ops.image import adaptive_avg_pool_11, resize_bilinear
+from ..ops.image import adaptive_avg_pool_11, resize_bilinear_auto
 from .baselines import _loss_or_softmax
 from .layers import TorchConv
 from .resnet import ResNet50Backbone, resnet50_config
@@ -77,13 +77,13 @@ class UNetPP(nn.Module):
         for j in range(1, depth + 1):
             for i in range(0, depth + 1 - j):
                 ch = self.decoder_channels[min(i, len(self.decoder_channels) - 1)]
-                up = resize_bilinear(grid[(i + 1, j - 1)], grid[(i, 0)].shape[1:3],
+                up = resize_bilinear_auto(grid[(i + 1, j - 1)], grid[(i, 0)].shape[1:3],
                                      align_corners=False)
                 cat = jnp.concatenate([grid[(i, k)] for k in range(j)] + [up], axis=-1)
                 grid[(i, j)] = DoubleConv(ch, name=f"x{i}_{j}")(cat, train)
         h = grid[(0, depth)]
         logit = nn.Conv(self.classes, (1, 1), name="head")(h)
-        logit = resize_bilinear(logit, x.shape[1:3], align_corners=False)
+        logit = resize_bilinear_auto(logit, x.shape[1:3], align_corners=False)
         return _loss_or_softmax(logit, y, train, self.loss_config, self.ignore_index)
 
 
@@ -98,7 +98,7 @@ class LinkNetDecoderBlock(nn.Module):
     def __call__(self, x, target_hw, train: bool = False):
         c = x.shape[-1] // 4
         x = ConvBNReLU(c, k=1, name="reduce")(x, train)
-        x = resize_bilinear(x, target_hw, align_corners=False)
+        x = resize_bilinear_auto(x, target_hw, align_corners=False)
         x = ConvBNReLU(c, k=3, name="up_conv")(x, train)
         return ConvBNReLU(self.out_ch, k=1, name="expand")(x, train)
 
@@ -156,7 +156,7 @@ class DeepLabV3(nn.Module):
         feats = ResNet50Backbone(name="encoder", **resnet50_config(8))(x)
         h = ASPP(name="aspp")(feats[3], train)
         logit = nn.Conv(self.classes, (1, 1), name="head")(h)
-        logit = resize_bilinear(logit, x.shape[1:3], align_corners=False)
+        logit = resize_bilinear_auto(logit, x.shape[1:3], align_corners=False)
         return _loss_or_softmax(logit, y, train, self.loss_config, self.ignore_index)
 
 
@@ -174,12 +174,12 @@ class DeepLabV3Plus(nn.Module):
         feats = ResNet50Backbone(name="encoder", **resnet50_config(16))(x)
         h = ASPP(name="aspp")(feats[3], train)
         low = ConvBNReLU(48, k=1, name="low_reduce")(feats[0], train)
-        h = resize_bilinear(h, low.shape[1:3], align_corners=False)
+        h = resize_bilinear_auto(h, low.shape[1:3], align_corners=False)
         h = jnp.concatenate([h, low], axis=-1)
         h = ConvBNReLU(256, name="fuse1")(h, train)
         h = ConvBNReLU(256, name="fuse2")(h, train)
         logit = nn.Conv(self.classes, (1, 1), name="head")(h)
-        logit = resize_bilinear(logit, x.shape[1:3], align_corners=False)
+        logit = resize_bilinear_auto(logit, x.shape[1:3], align_corners=False)
         return _loss_or_softmax(logit, y, train, self.loss_config, self.ignore_index)
 
 
@@ -211,7 +211,7 @@ class MFAB(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        x = resize_bilinear(x, skip.shape[1:3], align_corners=False)
+        x = resize_bilinear_auto(x, skip.shape[1:3], align_corners=False)
         x = ConvBNReLU(skip.shape[-1], name="pre")(x, train)
         h = x + skip
         se = adaptive_avg_pool_11(h)
@@ -237,7 +237,7 @@ class MANet(nn.Module):
         h = PAB(name="pab")(feats[3], train)
         for n, i in enumerate((2, 1, 0)):
             h = MFAB(self.decoder_channels[n], name=f"dec{n}")(h, feats[i], train)
-        h = resize_bilinear(h, x.shape[1:3], align_corners=False)
+        h = resize_bilinear_auto(h, x.shape[1:3], align_corners=False)
         h = ConvBNReLU(32, name="final")(h, train)
         logit = nn.Conv(self.classes, (1, 1), name="head")(h)
         return _loss_or_softmax(logit, y, train, self.loss_config, self.ignore_index)
@@ -269,7 +269,7 @@ class FPA(nn.Module):
         for i in range(len(downs) - 1, -1, -1):
             h = downs[i] if up is None else downs[i] + up
             tgt = downs[i - 1].shape[1:3] if i > 0 else (H, W)
-            up = resize_bilinear(ConvBNReLU(self.ch, k=ks[i], name=f"u{i + 1}")(h, train),
+            up = resize_bilinear_auto(ConvBNReLU(self.ch, k=ks[i], name=f"u{i + 1}")(h, train),
                                  tgt, align_corners=False)
         pyr = up if up is not None else jnp.ones((B, H, W, self.ch), x.dtype)
         return mid * pyr + jnp.broadcast_to(glob, (B, H, W, self.ch))
@@ -288,7 +288,7 @@ class GAU(nn.Module):
         gate = jax.nn.sigmoid(
             _bn(train, "gate_bn")(TorchConv(self.ch, (1, 1), use_bias=False,
                                             name="gate_conv")(gate)))
-        up = resize_bilinear(high, low.shape[1:3], align_corners=False)
+        up = resize_bilinear_auto(high, low.shape[1:3], align_corners=False)
         up = ConvBNReLU(self.ch, k=1, name="up_conv")(up, train)
         return up + low_c * gate
 
@@ -309,7 +309,7 @@ class PAN(nn.Module):
         for n, i in enumerate((2, 1, 0)):
             h = GAU(self.decoder_ch, name=f"gau{n}")(h, feats[i], train)
         logit = nn.Conv(self.classes, (1, 1), name="head")(h)
-        logit = resize_bilinear(logit, x.shape[1:3], align_corners=False)
+        logit = resize_bilinear_auto(logit, x.shape[1:3], align_corners=False)
         return _loss_or_softmax(logit, y, train, self.loss_config, self.ignore_index)
 
 
@@ -335,12 +335,12 @@ class Trans(nn.Module):
         feats = HighResolutionNet(self.hrnet_type, with_transformer=False,
                                   dtype=self.dtype, name="backbone")(x, train=train)
         tgt = feats[0].shape[1:3]
-        ups = [feats[0]] + [resize_bilinear(f, tgt, align_corners=True) for f in feats[1:]]
+        ups = [feats[0]] + [resize_bilinear_auto(f, tgt, align_corners=True) for f in feats[1:]]
         h = jnp.concatenate(ups, axis=-1)
         h = TorchConv(sum(widths), (1, 1), name="fuse_conv")(h)
         h = _bn(train, "fuse_bn")(h)
         h = nn.relu(h)
         logit = nn.Conv(self.classes, (1, 1), name="head")(h)
         H, W = logit.shape[1] * self.upsample_scale, logit.shape[2] * self.upsample_scale
-        logit = resize_bilinear(logit, (H, W), align_corners=True)
+        logit = resize_bilinear_auto(logit, (H, W), align_corners=True)
         return _loss_or_softmax(logit, y, train, self.loss_config, self.ignore_index)

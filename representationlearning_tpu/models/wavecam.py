@@ -87,9 +87,9 @@ class ClassPredictorWavecam(nn.Module):
         # canonical s x s grid first (identity at the reference geometry)
         s = int(round((self.representation_size // 2) ** 0.5))
         if cams.shape[1:3] != (s, s):
-            from ..ops.image import resize_bilinear
+            from ..ops.image import resize_bilinear_auto
 
-            cams = resize_bilinear(cams, (s, s), align_corners=False)
+            cams = resize_bilinear_auto(cams, (s, s), align_corners=False)
         wave = WaveModeling(self.num_classes, name="wave")(cams, train=train)
         # torch `view(B, C, -1)` of NCHW is channel-major: transpose NHWC->NCHW first
         feat = wave.transpose(0, 3, 1, 2).reshape(B, C, -1)

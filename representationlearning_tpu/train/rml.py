@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..losses import mi as MI
 from ..losses import wsss as LW
 from ..models.refine import par_refine
-from ..ops.image import resize_bilinear
+from ..ops.image import resize_bilinear_auto
 from ..wsss import camutils as CU
 from .state import TrainState
 
@@ -61,17 +61,17 @@ def rml_losses(variables, apply_fn, batch, key, cfg: RMLConfig, attn_mask, train
     cams, _ = CU.multi_scale_cam_with_ref_mat(cam_fn, inputs, cfg.cam_scales)
     sf = 0.3
     small = (int(H * sf), int(W * sf))
-    img2 = resize_bilinear(inputs, small, align_corners=True)
+    img2 = resize_bilinear_auto(inputs, small, align_corners=True)
     out2 = full_apply(variables, img2)
     (_, segs2, _, attn_pred2), _ = out2 if train else (out2, {})
     cams2 = CU.multi_scale_cam(cam_fn, img2, cfg.cam_scales)
-    cams1 = resize_bilinear(cams, small, align_corners=True)
+    cams1 = resize_bilinear_auto(cams, small, align_corners=True)
 
     loss_ciml = MI.ciml_loss(cams1, cams2)
 
-    segs_up = resize_bilinear(segs, (H, W), align_corners=True)
-    segs2_up = resize_bilinear(segs2, small, align_corners=True)
-    segs1 = resize_bilinear(segs_up, small, align_corners=True)
+    segs_up = resize_bilinear_auto(segs, (H, W), align_corners=True)
+    segs2_up = resize_bilinear_auto(segs2, small, align_corners=True)
+    segs1 = resize_bilinear_auto(segs_up, small, align_corners=True)
     loss_mfml = MI.mfml_loss(segs1, segs2_up)
 
     inputs_denorm = inputs * jnp.asarray(cfg.std) + jnp.asarray(cfg.mean)

@@ -24,7 +24,7 @@ import numpy as np
 from ..losses import wsss as LW
 from ..losses.energy import get_energy_loss
 from ..models.refine import varm_refine
-from ..ops.image import resize_bilinear
+from ..ops.image import resize_bilinear_auto
 from ..wsss import camutils as CU
 from .state import TrainState
 
@@ -83,15 +83,15 @@ def scd_losses(variables, apply_fn, batch, key, cfg: SCDConfig, attn_mask, train
 
     # multi-scale CAMs at full and 0.3 scale (`dist_train_voc.py:311-324`)
     cams, _ = CU.multi_scale_cam_with_ref_mat(cam_fn, inputs, cfg.cam_scales)
-    inputs2 = resize_bilinear(inputs, (int(H * 0.3), int(W * 0.3)), align_corners=True)
+    inputs2 = resize_bilinear_auto(inputs, (int(H * 0.3), int(W * 0.3)), align_corners=True)
     out2 = full_apply(variables, inputs2)
     (_, segs2, _, _), _ = out2 if train else (out2, {})
     cams2 = CU.multi_scale_cam(cam_fn, inputs2, cfg.cam_scales)
-    cams1 = resize_bilinear(cams, cams2.shape[1:3], align_corners=True)
+    cams1 = resize_bilinear_auto(cams, cams2.shape[1:3], align_corners=True)
     loss_er = LW.equivariance_loss(cams1[..., 1:], cams2[..., 1:])
 
-    segs_up = resize_bilinear(segs, (H, W), align_corners=True)
-    segs2_up = resize_bilinear(segs2, cams2.shape[1:3], align_corners=True)
+    segs_up = resize_bilinear_auto(segs, (H, W), align_corners=True)
+    segs2_up = resize_bilinear_auto(segs2, cams2.shape[1:3], align_corners=True)
     loss_corr = LW.contrastive_corr_loss(
         corr_key, cams, cams2, segs_up, segs2_up, n_samples=cfg.corr_samples
     )
@@ -191,7 +191,7 @@ def make_scd_eval_step(apply_fn, cfg: SCDConfig):
         cls_labels = batch["cls_label"]
         B, H, W, _ = inputs.shape
         cls_logits, segs, attns, attn_pred = apply_fn(variables, inputs, train=False)
-        segs_up = resize_bilinear(segs, (H, W), align_corners=False)
+        segs_up = resize_bilinear_auto(segs, (H, W), align_corners=False)
         cam_fn = lambda x: apply_fn(variables, x, cam_only=True)
         cams = CU.multi_scale_cam(cam_fn, inputs, cfg.cam_scales)
         cam_label = CU.cam_to_label(cams, cls_labels, img_box=None, bkg_score=cfg.bkg_score)
@@ -200,10 +200,10 @@ def make_scd_eval_step(apply_fn, cfg: SCDConfig):
         # bkg_score hard-coded 0.35 in the reference call
         h16, w16 = _down_size(H), _down_size(W)
         infer_mask = jnp.asarray(CU.get_mask_by_radius(h16, w16, cfg.attn_radius))
-        cam16 = resize_bilinear(cams, (h16, w16), align_corners=False)
+        cam16 = resize_bilinear_auto(cams, (h16, w16), align_corners=False)
         ref_cam = CU.propagate_ref_cam_with_bkg(
             cam16, attn_pred, cls_labels, bkg_score=0.35, mask=infer_mask)
-        ref_cam = resize_bilinear(ref_cam, (H, W), align_corners=False)
+        ref_cam = resize_bilinear_auto(ref_cam, (H, W), align_corners=False)
         return {
             "seg_pred": segs_up.argmax(-1),
             "cam_label": cam_label,

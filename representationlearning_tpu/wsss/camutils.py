@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.image import (flip_lr, minmax_normalize_cam, resize_bilinear,
+                         resize_bilinear_auto,
                          resize_bilinear_mm, resize_nearest)
 
 
@@ -60,7 +61,7 @@ def multi_scale_cam_with_ref_mat(cam_fn: Callable, inputs: jax.Array, scales: Se
     for s in scales:
         if s == 1.0:
             continue
-        si = resize_bilinear(inputs, (int(s * H), int(s * W)), align_corners=False)
+        si = resize_bilinear_auto(inputs, (int(s * H), int(s * W)), align_corners=False)
         c, r = _single_scale_cam(cam_fn, si, (H, W))
         cam_sum = cam_sum + c
         refs.append((s, r))
@@ -130,7 +131,7 @@ def refine_cams_with_bkg_v2(
     """
     B, H, W, Cf = cams.shape
     small = (H // down_scale, W // down_scale)
-    imgs_small = resize_bilinear(images_denorm, small, align_corners=False)
+    imgs_small = resize_bilinear_auto(images_denorm, small, align_corners=False)
 
     bkg_cls = jnp.ones((B, 1), cams.dtype)
     valid = jnp.concatenate([bkg_cls, cls_labels], axis=1)  # (B, C)
@@ -139,7 +140,7 @@ def refine_cams_with_bkg_v2(
     def probs_for(bkg_value):
         bkg = jnp.full((B, H, W, 1), bkg_value, cams.dtype)
         cwb = jnp.concatenate([bkg, cams], axis=-1)  # (B,H,W,C)
-        cwb_small = resize_bilinear(cwb, small, align_corners=False)
+        cwb_small = resize_bilinear_auto(cwb, small, align_corners=False)
         logits = jnp.where(valid[:, None, None, :] > 0, cwb_small, neg_inf)
         return jax.nn.softmax(logits, axis=-1)
 
@@ -154,7 +155,7 @@ def refine_cams_with_bkg_v2(
     C = Cf + 1
 
     def label_of(ref):
-        ref = resize_bilinear(ref, (H, W), align_corners=False)
+        ref = resize_bilinear_auto(ref, (H, W), align_corners=False)
         ref = jnp.where(valid[:, None, None, :] > 0, ref, neg_inf)
         return ref.argmax(axis=-1)
 
@@ -270,7 +271,7 @@ def cam_to_fg_bg_label(images_norm, cams, cls_label, bg_thre: float = 0.3,
 
     B, h, w, Cf = cams.shape
     imgs = np.asarray(images_norm) * np.asarray(std) + np.asarray(mean)
-    cams_np = np.asarray(resize_bilinear(cams, imgs.shape[1:3], align_corners=False))
+    cams_np = np.asarray(resize_bilinear_auto(cams, imgs.shape[1:3], align_corners=False))
     out = np.ones((B,) + imgs.shape[1:3], np.float32)
     cls_np = np.asarray(cls_label)
     for i in range(B):

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.image import flip_lr, resize_bilinear
+from ..ops.image import flip_lr, resize_bilinear_auto
 
 
 def get_strided_size(orig_size, stride):
@@ -44,13 +44,13 @@ def msf_cam_single(
     strided_sum = None
     highres_sum = None
     for s in scales:
-        si = resize_bilinear(image[None], (int(round(H * s)), int(round(W * s))))[0]
+        si = resize_bilinear_auto(image[None], (int(round(H * s)), int(round(W * s))))[0]
         pair = jnp.stack([si, flip_lr(si)], axis=0)
         out = cam_fn(pair)  # (2, h', w', C)
         o = jax.nn.relu(out)
         o = o[0] + flip_lr(o[1])  # flip-sum (`resnet50_cam.py:120-121`)
-        sc = resize_bilinear(o[None], strided)[0]
-        hc = resize_bilinear(o[None], up)[0][:H, :W]
+        sc = resize_bilinear_auto(o[None], strided)[0]
+        hc = resize_bilinear_auto(o[None], up)[0][:H, :W]
         strided_sum = sc if strided_sum is None else strided_sum + sc
         highres_sum = hc if highres_sum is None else highres_sum + hc
     return strided_sum, highres_sum

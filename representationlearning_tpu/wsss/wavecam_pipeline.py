@@ -31,7 +31,7 @@ from ..models.irn import AffinityDisplacementHead, IRNNet, edge_displacement_inf
 from ..models.resnet import Net
 from ..models.wavecam import ClassPredictorWavecam
 from ..ops.crf import crf_inference_label
-from ..ops.image import resize_bilinear
+from ..ops.image import resize_bilinear_auto
 from ..train.optim import make_sgd, poly_schedule
 from ..wsss import msf
 from ..wsss.indexing import GetAffinityLabelFromIndices, PathIndex, propagate_to_edge
@@ -375,7 +375,7 @@ class WaveCAMPipeline:
             rw = propagate_to_edge(cams, edge_c, radius=cfg.rw_radius,
                                    beta=cfg.beta, exp_times=cfg.exp_times)
             H, W = img.shape[:2]
-            rw_up = resize_bilinear(rw.transpose(1, 2, 0)[None],
+            rw_up = resize_bilinear_auto(rw.transpose(1, 2, 0)[None],
                                     (cams.shape[1] * 4, cams.shape[2] * 4))[0][:H, :W]
             rw_up = rw_up / (rw_up.max() + 1e-12)
             bg = jnp.full(rw_up.shape[:2] + (1,), cfg.sem_seg_bg_thres)
