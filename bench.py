@@ -407,6 +407,41 @@ def run_one(name):
         }), flush=True)
 
 
+def wait_for_backend(child_env, max_wait_s=2400):
+    """The axon-tunneled TPU backend HANGS (not errors) in jax.devices() when the
+    tunnel is down, sometimes transiently. Probe it in short-timeout child
+    processes and wait up to max_wait_s before starting the benches, so a
+    transient outage cannot zero the whole record (round-2 lesson, generalized).
+    Notes go to stderr — stdout stays JSON-only for the driver's parser."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print(d[0].platform)"],
+                capture_output=True, text=True, timeout=240, env=child_env,
+            )
+            if proc.returncode == 0:
+                print(f"[bench] backend up ({proc.stdout.strip()}) "
+                      f"after {attempt} probe(s)", file=sys.stderr, flush=True)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(f"[bench] backend still unreachable after {max_wait_s}s; "
+                  "running anyway (per-config timeouts apply)",
+                  file=sys.stderr, flush=True)
+            return False
+        print(f"[bench] backend probe {attempt} failed; retrying in 120s",
+              file=sys.stderr, flush=True)
+        time.sleep(120)
+
+
 def main():
     """Parent: fork one subprocess per config BEFORE any TPU allocation (this
     process never imports jax), so an OOM in one config cannot fragment or
@@ -421,6 +456,7 @@ def main():
     # 20-40 s per-config TPU compiles; code changes invalidate naturally
     child_env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rl_tpu_bench_cache")
     child_env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    wait_for_backend(child_env)
     lines = {}
     for name in BENCH_RUN_ORDER:
         fn, metric = BENCHES[name]
