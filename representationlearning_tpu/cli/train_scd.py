@@ -20,7 +20,8 @@ from ..core.logging import AverageMeter, Timer, setup_logger
 from ..utils.events import MetricsWriter
 from ..utils.visualize import cam_overlay, encode_cmap, make_grid
 from ..data.prefetch import ThreadedLoader
-from ..data.voc import BatchLoader, VOC12ClsDataset, VOC12SegDataset
+from ..data.voc import (BatchLoader, VOC12ClsDataset, VOC12ClsRawDataset,
+                        VOC12SegDataset)
 from ..metrics.seg import SegMetricAccumulator
 from ..models.tscd import TSCD
 from ..parallel import mesh as M
@@ -35,7 +36,11 @@ def default_config() -> Config:
         "backbone": {"config": "mit_b1", "stride": [4, 2, 2, 1]},
         "dataset": {"root_dir": None, "name_list_dir": None, "num_classes": 21,
                      "crop_size": 320, "rescale_range": [0.5, 2.0], "ignore_index": 255,
-                     "synthetic_n": 32},
+                     "synthetic_n": 32,
+                     # device_augment: host ships raw uint8 canvases; the
+                     # scale/flip/pad/crop/normalize chain runs fused into the
+                     # jitted train step (data/device_transforms.py)
+                     "device_augment": False, "canvas_size": 512},
         "work_dir": {"dir": "work_dir_voc"},
         "train": {"split": "train_aug", "samples_per_gpu": 2, "max_iters": 20000,
                    "cam_iters": 2000, "eval_iters": 2000, "log_iters": 200},
@@ -82,13 +87,23 @@ def main(argv=None):
                       num_classes=cfg.dataset.num_classes,
                       strides=tuple(cfg.backbone.stride), fused_blocks=True)
 
-    train_ds = VOC12ClsDataset(
-        root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
-        split=cfg.train.split, crop_size=cfg.dataset.crop_size,
-        rescale_range=tuple(cfg.dataset.rescale_range), num_classes=cfg.dataset.num_classes,
-        ignore_index=cfg.dataset.ignore_index, seed=cfg.seed,
-        synthetic_n=cfg.dataset.get("synthetic_n", 32),
-    )
+    device_aug = bool(cfg.dataset.get("device_augment", False))
+    if device_aug:
+        train_ds = VOC12ClsRawDataset(
+            root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
+            split=cfg.train.split, canvas_size=cfg.dataset.get("canvas_size", 512),
+            num_classes=cfg.dataset.num_classes,
+            ignore_index=cfg.dataset.ignore_index,
+            synthetic_n=cfg.dataset.get("synthetic_n", 32),
+        )
+    else:
+        train_ds = VOC12ClsDataset(
+            root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
+            split=cfg.train.split, crop_size=cfg.dataset.crop_size,
+            rescale_range=tuple(cfg.dataset.rescale_range), num_classes=cfg.dataset.num_classes,
+            ignore_index=cfg.dataset.ignore_index, seed=cfg.seed,
+            synthetic_n=cfg.dataset.get("synthetic_n", 32),
+        )
     val_ds = VOC12SegDataset(
         root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
         split="val", num_classes=cfg.dataset.num_classes, aug=False, seed=cfg.seed,
@@ -112,6 +127,27 @@ def main(argv=None):
 
     state = M.replicate(mesh, state)
     step_fn = make_scd_train_step(model.apply, scd_cfg)
+    if device_aug:
+        from ..data.device_transforms import (
+            DeviceAugConfig, augment_cls_batch, sample_cls_decisions,
+        )
+
+        aug_cfg = DeviceAugConfig(
+            crop_size=cfg.dataset.crop_size,
+            scale_range=tuple(cfg.dataset.rescale_range),
+            num_classes=cfg.dataset.num_classes,
+            ignore_index=cfg.dataset.ignore_index,
+        )
+        inner_step = step_fn
+
+        @jax.jit
+        def step_fn(state, batch, key):  # noqa: F811  (fused aug + train step)
+            k_aug, k_step = jax.random.split(key)
+            dec = sample_cls_decisions(k_aug, batch["raw"].shape[0], aug_cfg)
+            image, box = augment_cls_batch(batch["raw"], batch["hw"], dec, aug_cfg)
+            return inner_step(state, {"image": image, "img_box": box,
+                                      "cls_label": batch["cls_label"]}, k_step)
+
     eval_fn = make_scd_eval_step(model_eval.apply, scd_cfg)
 
     # scalar/image sink, the reference's TB writer (`dist_train_voc.py:250,393-413`)
@@ -124,10 +160,16 @@ def main(argv=None):
                                  depth=4))
     start = int(state.step)
     for n_iter in range(start, cfg.train.max_iters):
-        _, img, cls_label, box = next(loader)
-        batch = M.shard_batch(mesh, {
-            "image": img, "cls_label": cls_label, "img_box": box.astype(np.int32),
-        })
+        if device_aug:
+            _, raw, hw, cls_label = next(loader)
+            batch = M.shard_batch(mesh, {
+                "raw": raw, "hw": hw.astype(np.int32), "cls_label": cls_label,
+            })
+        else:
+            _, img, cls_label, box = next(loader)
+            batch = M.shard_batch(mesh, {
+                "image": img, "cls_label": cls_label, "img_box": box.astype(np.int32),
+            })
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(cfg.seed * 131 + n_iter))
         meter.add(**{k: float(v) for k, v in metrics.items()})
 

@@ -154,6 +154,37 @@ class VOC12ClsDataset:
         return name, image, cls_label.astype(np.float32), img_box.astype(np.int32)
 
 
+@DATASETS.register("voc12_cls_raw")
+class VOC12ClsRawDataset:
+    """Raw-canvas twin of `VOC12ClsDataset` for the fused ON-DEVICE
+    augmentation chain (`data/device_transforms.py`, the north star's
+    "augmentation chain becomes fused JAX/XLA transforms"): the host does no
+    augmentation at all — it pastes the raw uint8 image on a static canvas and
+    ships it; scale-jitter/flip/pad/crop/normalize run as one jitted program
+    fused into the train step. Returns (name, canvas u8 (S,S,3), hw (2,),
+    cls_onehot)."""
+
+    def __init__(self, root_dir=None, name_list_dir=None, split="train_aug",
+                 canvas_size: int = 512, ignore_index: int = 255,
+                 num_classes: int = NUM_VOC_CLASSES, **source_kw):
+        self.source = make_source(root_dir, name_list_dir, split,
+                                  num_classes=num_classes, **source_kw)
+        self.canvas_size = canvas_size
+        self.ignore_index = ignore_index
+        self.num_classes = num_classes
+
+    def __len__(self):
+        return len(self.source)
+
+    def __getitem__(self, idx: int):
+        from .device_transforms import pad_to_canvas
+
+        name, image, mask = self.source.get(idx)
+        cls_label = cls_onehot_from_mask(mask, self.num_classes, self.ignore_index)
+        canvas, hw = pad_to_canvas([image], self.canvas_size)
+        return name, canvas[0], hw[0], cls_label.astype(np.float32)
+
+
 @DATASETS.register("voc12_seg")
 class VOC12SegDataset:
     """Segmentation-supervision dataset (val/eval path of the SCD trainer)."""

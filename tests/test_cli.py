@@ -22,6 +22,24 @@ def test_train_scd_cli(tmp_path):
     assert os.path.isdir(os.path.join(tmp_path, "checkpoints", "step_2"))
 
 
+def test_train_scd_cli_device_augment(tmp_path):
+    """Fused on-device augmentation path: raw uint8 canvases in, the
+    scale/flip/pad/crop/normalize chain jitted into the train step
+    (`data/device_transforms.py`)."""
+    from representationlearning_tpu.cli.train_scd import main
+
+    state = main([
+        "--config", "configs/scd_voc.yaml",
+        "backbone.config=mit_b0",
+        "dataset.crop_size=64", "dataset.num_classes=6", "dataset.synthetic_n=8",
+        "dataset.device_augment=true", "dataset.canvas_size=128",
+        "train.max_iters=2", "train.cam_iters=-1", "train.eval_iters=2",
+        "train.log_iters=1", "train.samples_per_gpu=1",
+        f"work_dir.dir={tmp_path}",
+    ])
+    assert int(state.step) == 2
+
+
 def test_rssformer_cli_train_eval_predict(tmp_path):
     from representationlearning_tpu.cli.rssformer import main
 
