@@ -36,7 +36,10 @@ def default_config() -> Config:
                    # inference-only whole-FFN pallas kernel (ops/pallas/mlp_dwbn.py)
                    "fused_mlp": False},
         "data": {"image_dir": None, "mask_dir": None, "crop_size": 512,
-                  "batch_size": 8, "synthetic_n": 16},
+                  "batch_size": 8, "synthetic_n": 16,
+                  # device_augment: crop/flip/rot90/ShiftScaleRotate/normalize
+                  # fused into the jitted train step (data/device_transforms.py)
+                  "device_augment": False, "canvas_size": 1024},
         "learning_rate": {"base_lr": 0.01, "power": 0.9, "max_iters": 30000},
         "optimizer": {"momentum": 0.9, "weight_decay": 1e-4, "grad_clip": 35.0},
         "train": {"num_iters": 30000, "log_interval_step": 50, "eval_interval": 2000},
@@ -78,15 +81,42 @@ def cmd_train(cfg):
     mesh = M.make_mesh(n_data=n_data, n_model=1)
     state = M.replicate(mesh, state)
     step_fn = make_rssformer_train_step(model, tcfg)
+    device_aug = bool(cfg.data.get("device_augment", False))
     ds = LoveDADataset(image_dir=cfg.data.image_dir, mask_dir=cfg.data.mask_dir,
                        training=True, crop_size=crop, seed=cfg.seed,
-                       synthetic_n=cfg.data.get("synthetic_n", 16))
+                       synthetic_n=cfg.data.get("synthetic_n", 16),
+                       raw=device_aug,
+                       canvas_size=cfg.data.get("canvas_size", 1024))
+    if device_aug:
+        from ..data.device_transforms import (
+            LoveDAAugConfig, augment_loveda_batch, sample_loveda_decisions,
+        )
+
+        aug_cfg = LoveDAAugConfig(crop_size=crop, num_classes=cfg.model.classes)
+        inner_step = step_fn
+
+        @jax.jit
+        def step_fn(state, batch, key):  # noqa: F811  (fused aug + train step)
+            k_aug, k_step = jax.random.split(key)
+            dec = sample_loveda_decisions(k_aug, batch["raw"].shape[0], aug_cfg)
+            image, mask = augment_loveda_batch(batch["raw"], batch["hw"],
+                                               batch["mask_raw"], dec, aug_cfg)
+            return inner_step(state, {"image": image, "mask": mask}, k_step)
+
     meter = AverageMeter()
     rng = np.random.default_rng(cfg.seed)
     for it in range(int(state.step), cfg.train.num_iters):
         idxs = rng.integers(0, len(ds), cfg.data.batch_size)
-        _, imgs, masks = collate_loveda([ds[int(i)] for i in idxs])
-        batch = M.shard_batch(mesh, {"image": imgs, "mask": masks})
+        samples = [ds[int(i)] for i in idxs]
+        if device_aug:
+            batch = M.shard_batch(mesh, {
+                "raw": np.stack([s[1] for s in samples]),
+                "hw": np.stack([s[2] for s in samples]).astype(np.int32),
+                "mask_raw": np.stack([s[3] for s in samples]),
+            })
+        else:
+            _, imgs, masks = collate_loveda(samples)
+            batch = M.shard_batch(mesh, {"image": imgs, "mask": masks})
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(cfg.seed + it))
         meter.add(**{k: float(v) for k, v in metrics.items()})
         if (it + 1) % cfg.train.log_interval_step == 0:

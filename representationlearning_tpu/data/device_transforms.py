@@ -326,3 +326,131 @@ def augment_seg_batch(images, hw, labels, decisions, cfg: DeviceAugConfig):
     B = images.shape[0]
     return jax.vmap(one)(imgs, labels, hw[:, 0], hw[:, 1], sh, sw, pad, offs,
                          decisions["flip"], jnp.arange(B))
+
+
+# ------------------------------------------------------------------ LoveDA chain
+class LoveDAAugConfig(NamedTuple):
+    """`data/loveda.py::LoveDADataset` train chain, on device: random-crop ->
+    OneOf{hflip, vflip, rot90} p=.75 -> ShiftScaleRotate p=.2 -> normalize."""
+
+    crop_size: int = 512
+    flip_rot_p: float = 0.75
+    affine_p: float = 0.2
+    rotate_limit: float = 45.0
+    scale_limit: float = 0.2
+    shift_limit: float = 0.0625
+    cat_max_ratio: float = 0.75
+    crop_tries: int = 10
+    num_classes: int = 7
+    ignore_index: int = -1
+
+
+def sample_loveda_decisions(key, batch: int, cfg: LoveDAAugConfig):
+    ks = jax.random.split(key, 9)
+    return {
+        "pad_u": jax.random.uniform(ks[0], (batch, 2)),
+        "crop_u": jax.random.uniform(ks[1], (batch, cfg.crop_tries, 2)),
+        "fr_on": jax.random.uniform(ks[2], (batch,)) < cfg.flip_rot_p,
+        "op": jax.random.randint(ks[3], (batch,), 0, 3),
+        "rot_k": jax.random.randint(ks[4], (batch,), 1, 4),
+        "ssr_on": jax.random.uniform(ks[5], (batch,)) < cfg.affine_p,
+        "angle": jax.random.uniform(ks[6], (batch,), minval=-cfg.rotate_limit,
+                                    maxval=cfg.rotate_limit),
+        "ssr_scale": 1.0 + jax.random.uniform(
+            ks[7], (batch,), minval=-cfg.scale_limit, maxval=cfg.scale_limit),
+        "shift": jax.random.uniform(ks[8], (batch, 2), minval=-cfg.shift_limit,
+                                    maxval=cfg.shift_limit),
+    }
+
+
+def _reflect101(i, n: int):
+    """BORDER_REFLECT_101 index fold (cv2: ...cba|abcd|cba...)."""
+    if n == 1:
+        return jnp.zeros_like(i)
+    p = 2 * n - 2
+    m = jnp.mod(i, p)
+    return jnp.where(m < n, m, p - m)
+
+
+def _affine_reflect_warp(img, angle_deg, scale, shift_xy, nearest: bool):
+    """cv2.warpAffine(getRotationMatrix2D((w/2,h/2), angle, scale) + shift,
+    BORDER_REFLECT_101) on ONE (H, W, C) image: the dst->src affine is the
+    analytic inverse of M (cv2 inverts M internally by default)."""
+    H, W, C = img.shape
+    rad = angle_deg * (jnp.pi / 180.0)
+    a = scale * jnp.cos(rad)
+    b = scale * jnp.sin(rad)
+    cx, cy = W / 2.0, H / 2.0
+    tx = (1.0 - a) * cx - b * cy + shift_xy[0] * W
+    ty = b * cx + (1.0 - a) * cy + shift_xy[1] * H
+    det = a * a + b * b
+    ia, ib = a / det, b / det  # inv([[a, b], [-b, a]]) = [[a, -b], [b, a]]/det
+    x = jnp.arange(W, dtype=jnp.float32)[None, :] - tx
+    y = jnp.arange(H, dtype=jnp.float32)[:, None] - ty
+    sx = ia * x - ib * y
+    sy = ib * x + ia * y
+
+    flat = img.reshape(H * W, C)
+
+    def tap(yy, xx):
+        return flat[_reflect101(yy, H) * W + _reflect101(xx, W)]
+
+    if nearest:
+        return tap(jnp.floor(sy + 0.5).astype(jnp.int32),
+                   jnp.floor(sx + 0.5).astype(jnp.int32))
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    wx = (sx - x0)[..., None]
+    wy = (sy - y0)[..., None]
+    top = tap(y0, x0) * (1 - wx) + tap(y0, x0 + 1) * wx
+    bot = tap(y0 + 1, x0) * (1 - wx) + tap(y0 + 1, x0 + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _one_of_flip_rot(img, mask, on, op, k):
+    """OneOf{fliplr, flipud, rot90(k)} applied to a square crop pair."""
+    def sel(x):
+        cands = jnp.stack([
+            x[:, ::-1],                      # op 0: fliplr
+            x[::-1, :],                      # op 1: flipud
+            jnp.rot90(x, 1), jnp.rot90(x, 2), jnp.rot90(x, 3),
+        ])
+        idx = jnp.where(op < 2, op, 2 + (k - 1))
+        return jnp.where(on, cands[idx], x)
+
+    return sel(img), sel(mask)
+
+
+def augment_loveda_batch(images, hw, masks, decisions, cfg: LoveDAAugConfig):
+    """Fused LoveDA train chain. images (B,S,S,3) uint8/f32, masks (B,S,S)
+    int32 with `ignore_index` fill; returns (normalized images
+    (B,crop,crop,3), masks (B,crop,crop) int32)."""
+    imgs = images.astype(jnp.float32)
+    sh, sw, pad, offs = _geometry(hw, jnp.ones((images.shape[0],)),
+                                  decisions["pad_u"], decisions["crop_u"],
+                                  cfg.crop_size)
+    crop_cfg = DeviceAugConfig(
+        crop_size=cfg.crop_size, num_classes=cfg.num_classes,
+        ignore_index=cfg.ignore_index, cat_max_ratio=cfg.cat_max_ratio,
+        crop_tries=cfg.crop_tries)
+
+    def one(img, msk, h, w, shb, swb, padb, offsb, fr_on, op, k,
+            ssr_on, ang, sc, shift):
+        off = _pick_crop_try(msk, h, w, shb, swb, padb, offsb, False, crop_cfg)
+        ic = _warp_one(img, h, w, shb, swb, padb, off, False, cfg.crop_size,
+                       (0.0, 0.0, 0.0), nearest=False)
+        mc = _warp_one(msk[..., None].astype(jnp.float32), h, w, shb, swb,
+                       padb, off, False, cfg.crop_size,
+                       (float(cfg.ignore_index),), nearest=True)
+        ic, mc = _one_of_flip_rot(ic, mc, fr_on, op, k)
+        iw = _affine_reflect_warp(ic, ang, sc, shift, nearest=False)
+        mw = _affine_reflect_warp(mc, ang, sc, shift, nearest=True)
+        ic = jnp.where(ssr_on, iw, ic)
+        mc = jnp.where(ssr_on, mw, mc)
+        return normalize_img_j(ic), mc[..., 0].astype(jnp.int32)
+
+    return jax.vmap(one)(
+        imgs, masks, hw[:, 0], hw[:, 1], sh, sw, pad, offs,
+        decisions["fr_on"], decisions["op"], decisions["rot_k"],
+        decisions["ssr_on"], decisions["angle"], decisions["ssr_scale"],
+        decisions["shift"])

@@ -86,6 +86,8 @@ class LoveDADataset:
         seed: int = 0,
         synthetic_n: int = 16,
         synthetic_size=(128, 128),
+        raw: bool = False,
+        canvas_size: int = 1024,
     ):
         if image_dir and any(os.path.isdir(d) for d in
                              (image_dir if isinstance(image_dir, (list, tuple)) else [image_dir])):
@@ -99,12 +101,23 @@ class LoveDADataset:
         self.affine_p = affine_p
         self.flip_rot_p = flip_rot_p
         self.seed = seed
+        self.raw = raw
+        self.canvas_size = canvas_size
 
     def __len__(self):
         return len(self.source)
 
     def __getitem__(self, idx):
         name, img, mask = self.source.get(idx)
+        if self.raw:
+            # fused on-device chain (`data/device_transforms.py::
+            # augment_loveda_batch`): ship the raw uint8 canvas + true size
+            from .device_transforms import pad_to_canvas
+
+            canvas, hw, lab = pad_to_canvas([img], self.canvas_size,
+                                            [mask.astype(np.int32)],
+                                            ignore_index=-1)
+            return name, canvas[0], hw[0], lab[0]
         rng = np.random.default_rng((self.seed << 18) ^ idx)
         img = img.astype(np.float32)
         if self.training:

@@ -60,6 +60,21 @@ def test_rssformer_cli_train_eval_predict(tmp_path):
     assert len(os.listdir(out)) == 4
 
 
+def test_rssformer_cli_train_device_augment(tmp_path):
+    """LoveDA chain fused on device: raw canvases + crop/fliprot/SSR/normalize
+    inside the jitted train step."""
+    from representationlearning_tpu.cli.rssformer import main
+
+    state = main([
+        "train", "--config", "configs/rssformer_loveda.yaml",
+        "model.hrnet_type=hrnetv2_w18", "data.crop_size=64", "data.batch_size=2",
+        "data.synthetic_n=4", "data.device_augment=true", "data.canvas_size=128",
+        "train.num_iters=2", "train.log_interval_step=1", "train.eval_interval=2",
+        f"work_dir={tmp_path / 'wd'}",
+    ])
+    assert int(state.step) == 2
+
+
 def test_drfl_cli_train_and_sweep(tmp_path):
     from representationlearning_tpu.cli.train_drfl import main
 

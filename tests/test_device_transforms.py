@@ -238,6 +238,148 @@ def test_host_stops_early_device_picks_same_try():
                                atol=1.01 / 57.0)
 
 
+def _loveda_host(img, mask, script, crop):
+    """`LoveDADataset.__getitem__` training steps with scripted draws."""
+    rng = FakeRng(script)
+    image, label, _ = T.random_crop(rng, img.astype(np.float32),
+                                    mask.astype(np.float32), crop_size=crop,
+                                    mean_rgb=(0, 0, 0), ignore_index=-1)
+    label = label.astype(np.int64)
+    if rng.random() < 0.75:
+        op = rng.integers(3)
+        if op == 0:
+            image, label = np.fliplr(image), np.fliplr(label)
+        elif op == 1:
+            image, label = np.flipud(image), np.flipud(label)
+        else:
+            k = int(rng.integers(1, 4))
+            image, label = np.rot90(image, k), np.rot90(label, k)
+    if rng.random() < 0.2:
+        image, label2 = T.shift_scale_rotate(
+            rng, np.ascontiguousarray(image),
+            np.ascontiguousarray(label).astype(np.int32))
+        label = label2.astype(np.int64)
+    return T.normalize_img(np.ascontiguousarray(image)), np.ascontiguousarray(label)
+
+
+def _loveda_device(img, mask, dec_overrides, crop, canvas=48):
+    from representationlearning_tpu.data.device_transforms import (
+        LoveDAAugConfig, augment_loveda_batch,
+    )
+
+    images, hw, labs = pad_to_canvas([img], canvas, [mask.astype(np.int32)],
+                                     ignore_index=-1)
+    dec = {
+        "pad_u": jnp.zeros((1, 2), jnp.float32),
+        "crop_u": jnp.zeros((1, 10, 2), jnp.float32),
+        "fr_on": jnp.asarray([False]),
+        "op": jnp.zeros((1,), jnp.int32),
+        "rot_k": jnp.ones((1,), jnp.int32),
+        "ssr_on": jnp.asarray([False]),
+        "angle": jnp.zeros((1,), jnp.float32),
+        "ssr_scale": jnp.ones((1,), jnp.float32),
+        "shift": jnp.zeros((1, 2), jnp.float32),
+    }
+    dec.update(dec_overrides)
+    cfg = LoveDAAugConfig(crop_size=crop, num_classes=3)
+    out, lab = jax.jit(lambda i, h, m, d: augment_loveda_batch(i, h, m, d, cfg))(
+        jnp.asarray(images), jnp.asarray(hw), jnp.asarray(labs), dec)
+    return np.asarray(out[0]), np.asarray(lab[0])
+
+
+def _loveda_sample(seed=5, h=40, w=40):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    mask = rng.integers(0, 3, (h, w)).astype(np.int64)
+    mask[:3] = -1  # a band of ignore, as LoveDA's mask-1 produces
+    return img, mask
+
+
+@pytest.mark.parametrize("op,k", [(0, 1), (1, 1), (2, 1), (2, 2), (2, 3)])
+def test_loveda_crop_fliprot_bit_parity(op, k):
+    img, mask = _loveda_sample()
+    h, w, crop = 40, 40, 32
+    Hc = Wc = 40
+    pad = (0, 0)
+    tries = [(5, 2)]
+    script = [pad[0], pad[1], tries[0][0], tries[0][1], 0.1, op] + \
+        ([k] if op == 2 else []) + [0.9]  # fr on (0.1<0.75), ssr off (0.9>=0.2)
+    want_img, want_lab = _loveda_host(img, mask, script, crop)
+    got_img, got_lab = _loveda_device(img, mask, {
+        "crop_u": jnp.full((1, 10, 2), 0.0, jnp.float32).at[0, :, 0].set(
+            _u(tries[0][0], Hc - crop + 1)).at[0, :, 1].set(
+            _u(tries[0][1], Wc - crop + 1)),
+        "fr_on": jnp.asarray([True]),
+        "op": jnp.asarray([op], jnp.int32),
+        "rot_k": jnp.asarray([k], jnp.int32),
+    }, crop)
+    np.testing.assert_array_equal(got_lab, want_lab.astype(np.int32))
+    np.testing.assert_allclose(got_img, want_img, atol=1e-5)
+
+
+def test_loveda_ssr_close_to_cv2():
+    pytest.importorskip("cv2")
+    img, mask = _loveda_sample(seed=6)
+    crop = 32
+    angle, scale, dx, dy = 17.0, 1.1, 0.03, -0.02
+    script = [0, 0, 5, 2, 0.9, 0.1, angle, scale - 1.0, dx, dy]
+    # fr off (0.9 >= 0.75), ssr on (0.1 < 0.2)
+    want_img, want_lab = _loveda_host(img, mask, script, crop)
+    got_img, got_lab = _loveda_device(img, mask, {
+        "crop_u": jnp.full((1, 10, 2), 0.0, jnp.float32).at[0, :, 0].set(
+            _u(5, 40 - crop + 1)).at[0, :, 1].set(_u(2, 40 - crop + 1)),
+        "ssr_on": jnp.asarray([True]),
+        "angle": jnp.asarray([angle], jnp.float32),
+        "ssr_scale": jnp.asarray([scale], jnp.float32),
+        "shift": jnp.asarray([[dx, dy]], jnp.float32),
+    }, crop)
+    # cv2 INTER_LINEAR quantizes tap fractions to 1/32 (INTER_BITS=5); the
+    # device warp keeps float taps. Same geometry -> close values, and the
+    # nearest-mask agrees except where fraction quantization flips a
+    # boundary pixel.
+    diff = np.abs(got_img - want_img)
+    assert np.quantile(diff, 0.99) < 0.06, np.quantile(diff, 0.99)
+    assert diff.max() < 0.6, diff.max()
+    assert (got_lab == want_lab).mean() > 0.97, (got_lab == want_lab).mean()
+
+
+def test_loveda_identity_ssr_is_noop():
+    img, mask = _loveda_sample(seed=7)
+    crop = 32
+    base = {
+        "crop_u": jnp.full((1, 10, 2), _u(4, 9), jnp.float32),
+    }
+    a_img, a_lab = _loveda_device(img, mask, base, crop)
+    b_img, b_lab = _loveda_device(img, mask, {
+        **base, "ssr_on": jnp.asarray([True]),
+        "angle": jnp.zeros((1,), jnp.float32),
+        "ssr_scale": jnp.ones((1,), jnp.float32),
+        "shift": jnp.zeros((1, 2), jnp.float32),
+    }, crop)
+    np.testing.assert_array_equal(a_lab, b_lab)
+    np.testing.assert_allclose(a_img, b_img, atol=1e-4)
+
+
+def test_loveda_sampled_jit():
+    from representationlearning_tpu.data.device_transforms import (
+        LoveDAAugConfig, augment_loveda_batch, sample_loveda_decisions,
+    )
+
+    B, S, crop = 4, 48, 32
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 256, (int(rng.integers(36, 48)), 44, 3), np.uint8)
+            for _ in range(B)]
+    masks = [rng.integers(-1, 3, i.shape[:2]).astype(np.int32) for i in imgs]
+    images, hw, labs = pad_to_canvas(imgs, S, masks, ignore_index=-1)
+    cfg = LoveDAAugConfig(crop_size=crop, num_classes=3)
+    dec = sample_loveda_decisions(jax.random.PRNGKey(0), B, cfg)
+    out, lab = jax.jit(lambda i, h, m, d: augment_loveda_batch(i, h, m, d, cfg))(
+        jnp.asarray(images), jnp.asarray(hw), jnp.asarray(labs), dec)
+    assert out.shape == (B, crop, crop, 3) and lab.shape == (B, crop, crop)
+    assert np.isfinite(np.asarray(out)).all()
+    assert set(np.unique(np.asarray(lab)).tolist()) <= {-1, 0, 1, 2}
+
+
 def test_sampled_batch_shapes_and_jit():
     """End-to-end with sampled decisions under jit: shapes, dtypes, finite,
     boxes in range, labels only valid classes or ignore."""
