@@ -31,7 +31,11 @@ def default_config() -> Config:
     return Config({
         "backbone": {"config": "mit_b1", "stride": [4, 2, 2, 1]},
         "dataset": {"root_dir": None, "name_list_dir": None, "num_classes": 21,
-                     "crop_size": 320, "ignore_index": 255, "synthetic_n": 32},
+                     "crop_size": 320, "ignore_index": 255, "synthetic_n": 32,
+                     # device_augment: fused on-device augmentation chain
+                     # (data/device_transforms.py), as in the SCD CLI
+                     "device_augment": False, "canvas_size": 512,
+                     "rescale_range": [0.5, 2.0]},
         "train": {"samples_per_gpu": 2, "max_iters": 18000, "cam_iters": 2000,
                    "log_iters": 200, "eval_iters": 2000},
         "cam": {"bkg_score": 0.45, "high_thre": 0.55, "low_thre": 0.35,
@@ -68,12 +72,24 @@ def main(argv=None):
 
     mesh = M.make_mesh()
     global_batch = cfg.train.samples_per_gpu * mesh.shape[M.DATA_AXIS]
-    ds = VOC12ClsDataset(
-        root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
-        crop_size=cfg.dataset.crop_size, num_classes=cfg.dataset.num_classes,
-        ignore_index=cfg.dataset.ignore_index, seed=cfg.seed,
-        synthetic_n=cfg.dataset.get("synthetic_n", 32),
-    )
+    device_aug = bool(cfg.dataset.get("device_augment", False))
+    if device_aug:
+        from ..data.voc import VOC12ClsRawDataset
+
+        ds = VOC12ClsRawDataset(
+            root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
+            canvas_size=cfg.dataset.get("canvas_size", 512),
+            num_classes=cfg.dataset.num_classes,
+            ignore_index=cfg.dataset.ignore_index,
+            synthetic_n=cfg.dataset.get("synthetic_n", 32),
+        )
+    else:
+        ds = VOC12ClsDataset(
+            root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
+            crop_size=cfg.dataset.crop_size, num_classes=cfg.dataset.num_classes,
+            ignore_index=cfg.dataset.ignore_index, seed=cfg.seed,
+            synthetic_n=cfg.dataset.get("synthetic_n", 32),
+        )
 
     variables = model.init(jax.random.PRNGKey(cfg.seed),
                            jnp.zeros((1, cfg.dataset.crop_size, cfg.dataset.crop_size, 3)))
@@ -91,15 +107,41 @@ def main(argv=None):
     state = M.replicate(mesh, state)
 
     step_fn = make_rml_train_step(model.apply, rml_cfg)
+    if device_aug:
+        from ..data.device_transforms import (
+            DeviceAugConfig, augment_cls_batch, sample_cls_decisions,
+        )
+
+        aug_cfg = DeviceAugConfig(
+            crop_size=cfg.dataset.crop_size,
+            scale_range=tuple(cfg.dataset.get("rescale_range", [0.5, 2.0])),
+            num_classes=cfg.dataset.num_classes,
+            ignore_index=cfg.dataset.ignore_index,
+        )
+        inner_step = step_fn
+
+        @jax.jit
+        def step_fn(state, batch, key):  # noqa: F811  (fused aug + train step)
+            k_aug, k_step = jax.random.split(key)
+            dec = sample_cls_decisions(k_aug, batch["raw"].shape[0], aug_cfg)
+            image, box = augment_cls_batch(batch["raw"], batch["hw"], dec, aug_cfg)
+            return inner_step(state, {"image": image, "img_box": box,
+                                      "cls_label": batch["cls_label"]}, k_step)
+
     loader = iter(ThreadedLoader(BatchLoader(ds, global_batch, seed=cfg.seed),
                                  depth=4))
     meter = AverageMeter()
     timer = Timer(cfg.train.max_iters)
     start = int(state.step)
     for n_iter in range(start, cfg.train.max_iters):
-        _, img, cls_label, box = next(loader)
-        batch = M.shard_batch(mesh, {"image": img, "cls_label": cls_label,
-                                     "img_box": box.astype(np.int32)})
+        if device_aug:
+            _, raw, hw, cls_label = next(loader)
+            batch = M.shard_batch(mesh, {"raw": raw, "hw": hw.astype(np.int32),
+                                         "cls_label": cls_label})
+        else:
+            _, img, cls_label, box = next(loader)
+            batch = M.shard_batch(mesh, {"image": img, "cls_label": cls_label,
+                                         "img_box": box.astype(np.int32)})
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(cfg.seed * 977 + n_iter))
         meter.add(**{k: float(v) for k, v in metrics.items()})
         if (n_iter + 1) % cfg.train.log_iters == 0:

@@ -115,6 +115,20 @@ def test_train_rml_cli(tmp_path):
     assert int(state.step) == 1
 
 
+def test_train_rml_cli_device_augment(tmp_path):
+    from representationlearning_tpu.cli.train_rml import main
+
+    state = main([
+        "--config", "configs/rml_voc.yaml",
+        "backbone.config=mit_b0", "dataset.crop_size=64", "dataset.num_classes=6",
+        "dataset.synthetic_n=8", "dataset.device_augment=true",
+        "dataset.canvas_size=128", "train.max_iters=1", "train.cam_iters=-1",
+        "train.eval_iters=1", "train.log_iters=1", "train.samples_per_gpu=1",
+        "cam.scales=[1.0,0.5]", f"work_dir={tmp_path}",
+    ])
+    assert int(state.step) == 1
+
+
 def test_convert_checkpoint_cli(tmp_path):
     import torch
     import jax
