@@ -332,11 +332,18 @@ def bench_rssformer_train(peak):
 
 
 def bench_rml_train(peak):
-    """Driver config 5: RML representation training step (full aug pipeline feeds it;
-    multi-chip data-parallel validated separately by dryrun_multichip)."""
+    """Driver config 5: RML representation training step WITH the full
+    augmentation pipeline (BASELINE.json: "full augmentation pipeline"),
+    fused on device: raw uint8 canvases in, scale-jitter/flip/pad/crop/
+    normalize (`data/device_transforms.py`) + the RML step in ONE jitted
+    program. Multi-chip data-parallel is validated separately by
+    dryrun_multichip."""
     import jax
     import jax.numpy as jnp
 
+    from representationlearning_tpu.data.device_transforms import (
+        DeviceAugConfig, augment_cls_batch, sample_cls_decisions,
+    )
     from representationlearning_tpu.models.rml import RMLModel
     from representationlearning_tpu.train.optim import (
         make_poly_warmup_adamw, tscd_param_labels,
@@ -346,6 +353,8 @@ def bench_rml_train(peak):
 
     batch = 4
     cfg = RMLConfig(crop_size=320, cam_iters=-1)
+    aug_cfg = DeviceAugConfig(crop_size=320, scale_range=(0.5, 2.0),
+                              num_classes=21)
     model = RMLModel(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x = jnp.zeros((1, 320, 320, 3), jnp.float32)
@@ -355,12 +364,22 @@ def bench_rml_train(peak):
         param_labels=tscd_param_labels(variables["params"]),
     )
     state = TrainState.create(model.apply, variables, tx)
+    # VOC-sized raw inputs on a 512 canvas (train images are ~375x500)
     batch_data = {
-        "image": jnp.asarray(rng.standard_normal((batch, 320, 320, 3)), jnp.float32),
+        "raw": jnp.asarray(rng.integers(0, 256, (batch, 512, 512, 3)), jnp.uint8),
+        "hw": jnp.tile(jnp.asarray([[375, 500]], jnp.int32), (batch, 1)),
         "cls_label": jnp.asarray((rng.random((batch, 20)) > 0.7), jnp.float32),
-        "img_box": jnp.tile(jnp.asarray([[16, 304, 16, 304]], jnp.int32), (batch, 1)),
     }
-    step_fn = make_rml_train_step(model.apply, cfg)
+    inner = make_rml_train_step(model.apply, cfg)
+
+    @jax.jit
+    def step_fn(state, b, key):
+        k_aug, k_step = jax.random.split(key)
+        dec = sample_cls_decisions(k_aug, batch, aug_cfg)
+        image, box = augment_cls_batch(b["raw"], b["hw"], dec, aug_cfg)
+        return inner(state, {"image": image, "img_box": box,
+                             "cls_label": b["cls_label"]}, k_step)
+
     rate = _train_rate(step_fn, state, batch_data, jax.random.PRNGKey(0), batch)
     flops = flops_per_call(step_fn, state, batch_data, jax.random.PRNGKey(0))
     return _emit(
