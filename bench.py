@@ -232,6 +232,42 @@ def bench_rssformer_predict(peak):
     )
 
 
+def bench_rssformer_tta_eval(peak):
+    """Driver config 4's eval half: RSSFormer multi-scale TTA inference at the
+    reference's 6 scale factors 0.5..1.75 with averaged inverse-transformed
+    logits (`RSSFormer-TIP2023/eval.py:58-65`, `module/tta.py:118-135`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from representationlearning_tpu.infer.tta import default_tta_config, tta
+    from representationlearning_tpu.models.rssformer import HRNetFusion
+
+    batch = 2
+    model = HRNetFusion(hrnet_type="hrnetv2_w32", classes=7, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+
+    def fwd(v, x):
+        pred = tta(lambda im: model.apply(v, im), x, default_tta_config())
+        return pred.argmax(axis=-1).sum().astype(jnp.float32)
+
+    @jax.jit
+    def chained(v, x, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, c: fwd(v, x + c * 1e-12), jnp.float32(0.0))
+
+    def run(v, x, k):
+        return float(chained(v, x, k))
+
+    sec = device_seconds_per_call(run, variables, x, k_short=1, k_long=5, reps=3)
+    flops = flops_per_call(fwd, variables, x)
+    return _emit(
+        "rssformer_w32_512_tta_eval_tiles_per_sec_per_chip", batch / sec, "tiles/s",
+        flops / batch if flops else None, ASSUMED_A100_INFER_MFU, peak,
+    )
+
+
 def bench_scd_pseudo_labels(peak):
     """Driver config 3: SCD pseudo-label generation (multi-scale+flip CAM ->
     threshold labels), scales [1, 0.5, 1.5] (`configs/voc_attn_reg.yaml:31`)."""
@@ -397,6 +433,8 @@ BENCHES = {
     "rssformer_train": (
         bench_rssformer_train, "rssformer_w32_512_train_images_per_sec_per_chip"),
     "rml_train": (bench_rml_train, "rml_mitb1_320_train_images_per_sec_per_chip"),
+    "rssformer_tta_eval": (
+        bench_rssformer_tta_eval, "rssformer_w32_512_tta_eval_tiles_per_sec_per_chip"),
     "segformer_b1": (
         bench_segformer_b1_predict, "segformer_b1_512_tiles_per_sec_per_chip"),
 }
@@ -406,11 +444,11 @@ BENCHES = {
 # early RESOURCE_EXHAUSTED poison the later configs, zeroing the headline).
 BENCH_RUN_ORDER = [
     "segformer_b1", "wavecam_cams", "rssformer_predict", "scd_pseudo_labels",
-    "rssformer_train", "rml_train",
+    "rssformer_train", "rml_train", "rssformer_tta_eval",
 ]
 BENCH_PRINT_ORDER = [
     "wavecam_cams", "rssformer_predict", "scd_pseudo_labels",
-    "rssformer_train", "rml_train", "segformer_b1",
+    "rssformer_train", "rml_train", "rssformer_tta_eval", "segformer_b1",
 ]
 
 

@@ -18,7 +18,7 @@ import numpy as np
 from ..core.config import Config, load_yaml
 from ..core.logging import AverageMeter, Timer, setup_logger
 from ..data.prefetch import ThreadedLoader
-from ..data.voc import BatchLoader, VOC12ClsDataset
+from ..data.voc import BatchLoader
 from ..models.rml import RMLModel
 from ..parallel import mesh as M
 from ..train import checkpoints as CK
@@ -30,13 +30,17 @@ from ..train.state import TrainState
 def default_config() -> Config:
     return Config({
         "backbone": {"config": "mit_b1", "stride": [4, 2, 2, 1]},
-        "dataset": {"root_dir": None, "name_list_dir": None, "num_classes": 21,
+        # dataset.name: "voc" (default) or "coco" — one trainer, config-selected
+        # loaders (the reference would ship a dist_train_coco.py mirror)
+        "dataset": {"name": "voc",
+                     "root_dir": None, "name_list_dir": None, "num_classes": 21,
                      "crop_size": 320, "ignore_index": 255, "synthetic_n": 32,
                      # device_augment: fused on-device augmentation chain
                      # (data/device_transforms.py), as in the SCD CLI
                      "device_augment": False, "canvas_size": 512,
                      "rescale_range": [0.5, 2.0]},
-        "train": {"samples_per_gpu": 2, "max_iters": 18000, "cam_iters": 2000,
+        "train": {"split": "train_aug",
+                   "samples_per_gpu": 2, "max_iters": 18000, "cam_iters": 2000,
                    "log_iters": 200, "eval_iters": 2000},
         "cam": {"bkg_score": 0.45, "high_thre": 0.55, "low_thre": 0.35,
                  "scales": [0.5, 1.0, 1.5]},
@@ -73,23 +77,10 @@ def main(argv=None):
     mesh = M.make_mesh()
     global_batch = cfg.train.samples_per_gpu * mesh.shape[M.DATA_AXIS]
     device_aug = bool(cfg.dataset.get("device_augment", False))
-    if device_aug:
-        from ..data.voc import VOC12ClsRawDataset
+    # shared dataset selection (`dataset.name` voc|coco) with the SCD CLI
+    from .train_scd import make_wsss_datasets
 
-        ds = VOC12ClsRawDataset(
-            root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
-            canvas_size=cfg.dataset.get("canvas_size", 512),
-            num_classes=cfg.dataset.num_classes,
-            ignore_index=cfg.dataset.ignore_index,
-            synthetic_n=cfg.dataset.get("synthetic_n", 32),
-        )
-    else:
-        ds = VOC12ClsDataset(
-            root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
-            crop_size=cfg.dataset.crop_size, num_classes=cfg.dataset.num_classes,
-            ignore_index=cfg.dataset.ignore_index, seed=cfg.seed,
-            synthetic_n=cfg.dataset.get("synthetic_n", 32),
-        )
+    ds, _ = make_wsss_datasets(cfg, device_aug)
 
     variables = model.init(jax.random.PRNGKey(cfg.seed),
                            jnp.zeros((1, cfg.dataset.crop_size, cfg.dataset.crop_size, 3)))

@@ -34,7 +34,12 @@ from ..train.state import TrainState
 def default_config() -> Config:
     return Config({
         "backbone": {"config": "mit_b1", "stride": [4, 2, 2, 1]},
-        "dataset": {"root_dir": None, "name_list_dir": None, "num_classes": 21,
+        # dataset.name selects the family: "voc" (default) or "coco" — the
+        # reference ships separate near-mirror entry points
+        # (`scripts/dist_train_voc.py` / `dist_train_coco.py:181-453`); here one
+        # trainer is dataset-agnostic and the config picks the loaders
+        "dataset": {"name": "voc",
+                     "root_dir": None, "name_list_dir": None, "num_classes": 21,
                      "crop_size": 320, "rescale_range": [0.5, 2.0], "ignore_index": 255,
                      "synthetic_n": 32,
                      # device_augment: host ships raw uint8 canvases; the
@@ -50,6 +55,39 @@ def default_config() -> Config:
         "scheduler": {"warmup_iter": 1500, "warmup_ratio": 1e-6, "power": 1.0},
         "seed": 1,
     })
+
+
+def make_wsss_datasets(cfg, device_aug: bool):
+    """(train_ds, val_ds) for a WSSS trainer config — `dataset.name` picks the
+    family. VOC matches `scripts/dist_train_voc.py:211-248`; COCO matches
+    `scripts/dist_train_coco.py:188-210` (split "train"/"val", 81 classes,
+    no resize_range on the val path). Both families share the sample shapes, so
+    the trainer body is dataset-agnostic."""
+    name = str(cfg.dataset.get("name", "voc")).lower()
+    common = dict(
+        root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
+        num_classes=cfg.dataset.num_classes, ignore_index=cfg.dataset.ignore_index,
+        synthetic_n=cfg.dataset.get("synthetic_n", 32),
+    )
+    if name == "coco":
+        from ..data.coco import CocoClsDataset, CocoClsRawDataset, CocoSegDataset
+
+        cls_cls = CocoClsRawDataset if device_aug else CocoClsDataset
+        seg_cls = CocoSegDataset
+    elif name == "voc":
+        cls_cls = VOC12ClsRawDataset if device_aug else VOC12ClsDataset
+        seg_cls = VOC12SegDataset
+    else:
+        raise ValueError(f"unknown dataset.name {name!r} (voc|coco)")
+    if device_aug:
+        train_ds = cls_cls(split=cfg.train.split,
+                           canvas_size=cfg.dataset.get("canvas_size", 512), **common)
+    else:
+        train_ds = cls_cls(split=cfg.train.split, crop_size=cfg.dataset.crop_size,
+                           rescale_range=tuple(cfg.dataset.rescale_range),
+                           seed=cfg.seed, **common)
+    val_ds = seg_cls(split="val", aug=False, seed=cfg.seed, **common)
+    return train_ds, val_ds
 
 
 def main(argv=None):
@@ -88,27 +126,7 @@ def main(argv=None):
                       strides=tuple(cfg.backbone.stride), fused_blocks=True)
 
     device_aug = bool(cfg.dataset.get("device_augment", False))
-    if device_aug:
-        train_ds = VOC12ClsRawDataset(
-            root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
-            split=cfg.train.split, canvas_size=cfg.dataset.get("canvas_size", 512),
-            num_classes=cfg.dataset.num_classes,
-            ignore_index=cfg.dataset.ignore_index,
-            synthetic_n=cfg.dataset.get("synthetic_n", 32),
-        )
-    else:
-        train_ds = VOC12ClsDataset(
-            root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
-            split=cfg.train.split, crop_size=cfg.dataset.crop_size,
-            rescale_range=tuple(cfg.dataset.rescale_range), num_classes=cfg.dataset.num_classes,
-            ignore_index=cfg.dataset.ignore_index, seed=cfg.seed,
-            synthetic_n=cfg.dataset.get("synthetic_n", 32),
-        )
-    val_ds = VOC12SegDataset(
-        root_dir=cfg.dataset.root_dir, name_list_dir=cfg.dataset.name_list_dir,
-        split="val", num_classes=cfg.dataset.num_classes, aug=False, seed=cfg.seed,
-        synthetic_n=cfg.dataset.get("synthetic_n", 32),
-    )
+    train_ds, val_ds = make_wsss_datasets(cfg, device_aug)
 
     variables = model.init(jax.random.PRNGKey(cfg.seed),
                            jnp.zeros((1, cfg.dataset.crop_size, cfg.dataset.crop_size, 3)))

@@ -64,11 +64,12 @@ class CocoSource:
 
 
 def make_coco_source(root_dir=None, name_list_dir=None, split="train",
+                     num_classes=NUM_COCO_CLASSES,
                      synthetic_size=(96, 128), synthetic_n=32):
     if root_dir and os.path.isdir(os.path.join(root_dir, "JPEGImages")):
         return CocoSource(root_dir, name_list_dir, split)
     return SyntheticSegSource(n=synthetic_n, size=synthetic_size,
-                              num_classes=NUM_COCO_CLASSES)
+                              num_classes=num_classes)
 
 
 @DATASETS.register("coco_cls")
@@ -79,7 +80,8 @@ class CocoClsDataset:
                  crop_size: int = 320, rescale_range=(0.5, 2.0), img_fliplr=True,
                  ignore_index: int = 255, num_classes: int = NUM_COCO_CLASSES,
                  aug: bool = True, seed: int = 0, **source_kw):
-        self.source = make_coco_source(root_dir, name_list_dir, split, **source_kw)
+        self.source = make_coco_source(root_dir, name_list_dir, split,
+                                       num_classes=num_classes, **source_kw)
         self.crop_size = crop_size
         self.rescale_range = rescale_range
         self.img_fliplr = img_fliplr
@@ -109,13 +111,43 @@ class CocoClsDataset:
         return name, image, cls_label.astype(np.float32), img_box.astype(np.int32)
 
 
+@DATASETS.register("coco_cls_raw")
+class CocoClsRawDataset:
+    """Raw-canvas twin of `CocoClsDataset` for the fused on-device augmentation
+    chain (`data/device_transforms.py`), mirroring `VOC12ClsRawDataset`: the host
+    only pastes the raw uint8 image on a static canvas; scale/flip/pad/crop/
+    normalize run jitted into the train step. Returns (name, canvas u8 (S,S,3),
+    hw (2,), cls_onehot)."""
+
+    def __init__(self, root_dir=None, name_list_dir=None, split="train",
+                 canvas_size: int = 512, ignore_index: int = 255,
+                 num_classes: int = NUM_COCO_CLASSES, **source_kw):
+        self.source = make_coco_source(root_dir, name_list_dir, split,
+                                       num_classes=num_classes, **source_kw)
+        self.canvas_size = canvas_size
+        self.ignore_index = ignore_index
+        self.num_classes = num_classes
+
+    def __len__(self):
+        return len(self.source)
+
+    def __getitem__(self, idx: int):
+        from .device_transforms import pad_to_canvas
+
+        name, image, mask = self.source.get(idx)
+        cls_label = cls_onehot_from_mask(mask, self.num_classes, self.ignore_index)
+        canvas, hw = pad_to_canvas([image], self.canvas_size)
+        return name, canvas[0], hw[0], cls_label.astype(np.float32)
+
+
 @DATASETS.register("coco_seg")
 class CocoSegDataset:
     def __init__(self, root_dir=None, name_list_dir=None, split="val",
                  crop_size: int | None = 320, img_fliplr=True, ignore_index: int = 255,
                  num_classes: int = NUM_COCO_CLASSES, aug: bool = False, seed: int = 0,
                  **source_kw):
-        self.source = make_coco_source(root_dir, name_list_dir, split, **source_kw)
+        self.source = make_coco_source(root_dir, name_list_dir, split,
+                                       num_classes=num_classes, **source_kw)
         self.crop_size = crop_size
         self.img_fliplr = img_fliplr
         self.ignore_index = ignore_index

@@ -49,13 +49,19 @@ class RMLModel(nn.Module):
     pooling: str = "gmp"
     use_wave: bool = False  # PATM on stage-4 features (model_attn_aff WeTr variant)
     fused_blocks: bool = False  # inference: fused pallas kernels (see models/mit.py)
+    collect_attns: bool | str = "last2"  # "none": skip attention export — attn_pred
+    # comes back None and every block may run fused; param tree unchanged (modulo the
+    # then-unused attn_proj). Used by the cam-only twin in the train step: the CAM
+    # chain discards the ref mat (`train/rml.py`), so the exported (B, nh, N, N)
+    # logits would be pure HBM traffic
     dtype: Any = jnp.float32
 
     def setup(self):
         cfg = dict(MIT_CONFIGS[self.backbone])
         self.encoder = MixVisionTransformer(
             strides=self.strides, dtype=self.dtype,
-            fused_blocks=self.fused_blocks, **cfg, name="encoder"
+            fused_blocks=self.fused_blocks, collect_attns=self.collect_attns,
+            **cfg, name="encoder"
         )
         self.neck = SimpleFusionNeck(self.seg_classes, name="neck")
         self.attn_proj = nn.Conv(1, (1, 1), use_bias=True, name="attn_proj")
@@ -68,8 +74,12 @@ class RMLModel(nn.Module):
         feats, attns = self.encoder(x, deterministic=not train)
         x4 = feats[3]
 
-        attn_cat = jnp.concatenate(attns[-2:], axis=1)
-        attn_pred = jax.nn.sigmoid(self.attn_proj(attn_cat.transpose(0, 2, 3, 1))[..., 0])
+        if attns:
+            attn_cat = jnp.concatenate(attns[-2:], axis=1)
+            attn_pred = jax.nn.sigmoid(
+                self.attn_proj(attn_cat.transpose(0, 2, 3, 1))[..., 0])
+        else:  # collect_attns == "none"
+            attn_pred = None
 
         if self.is_initializing() and self.use_wave:
             # the wave block only runs on the cam_only path; touch it at init so its

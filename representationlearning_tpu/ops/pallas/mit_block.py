@@ -113,6 +113,12 @@ def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps", export=False):
         s_raw = _mm(q[:, sl], k[:, sl].T, dtype)                   # (N, Nk) f32
         if export:
             logits.append(s_raw)
+        if Nk == 0:
+            # degenerate geometry (input smaller than the sr stride): the XLA
+            # Block path contracts over zero keys to a zero output — match it
+            # rather than reduce over an empty axis
+            outs.append(jnp.zeros((N, hd), jnp.float32))
+            continue
         s = s_raw * scale
         m = s.max(axis=-1, keepdims=True)
         e = jnp.exp(s - m)

@@ -39,7 +39,8 @@ class RMLConfig(NamedTuple):
     attn_radius: int = 8
 
 
-def rml_losses(variables, apply_fn, batch, key, cfg: RMLConfig, attn_mask, train=True):
+def rml_losses(variables, apply_fn, batch, key, cfg: RMLConfig, attn_mask, train=True,
+               cam_apply_fn=None):
     inputs = batch["image"]
     cls_labels = batch["cls_label"]
     img_box = batch["img_box"]
@@ -53,7 +54,16 @@ def rml_losses(variables, apply_fn, batch, key, cfg: RMLConfig, attn_mask, train
             mutable=["batch_stats"] if train else False,
         )
 
-    cam_fn = lambda x: apply_fn(variables, x, cam_only=True)
+    # the cam-only forwards are no-grad inference over the SAME params
+    # (`utils/camutils.py:88,118` torch.no_grad), so their params/inputs are
+    # stop-gradient here (keeps autodiff out of them entirely) and they may run
+    # through a fused-kernel twin (identical param tree, e.g.
+    # RMLModel(fused_blocks=True, collect_attns="none")) — they dominate the
+    # step's encoder FLOPs (6 flip-pair forwards at up to 1.5x resolution) and
+    # their exact-GELU/LN HBM passes were 30%+ of the measured step (PERF.md r4)
+    sg_vars = jax.lax.stop_gradient(variables)
+    cam_fn = lambda x: (cam_apply_fn or apply_fn)(
+        sg_vars, jax.lax.stop_gradient(x), cam_only=True)
 
     out = full_apply(variables, inputs)
     (cls_logits, segs, attns, attn_pred), mutated = out if train else (out, {})
@@ -92,7 +102,7 @@ def rml_losses(variables, apply_fn, batch, key, cfg: RMLConfig, attn_mask, train
     return losses, {"mutated": mutated, "refined_label": refined_label, "segs": segs_up}
 
 
-def make_rml_train_step(apply_fn, cfg: RMLConfig):
+def make_rml_train_step(apply_fn, cfg: RMLConfig, cam_apply_fn=None):
     attn_mask = jnp.asarray(
         CU.get_mask_by_radius(cfg.crop_size // 16, cfg.crop_size // 16, cfg.attn_radius)
     )
@@ -103,7 +113,8 @@ def make_rml_train_step(apply_fn, cfg: RMLConfig):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            losses, aux = rml_losses(variables, apply_fn, batch, key, cfg, attn_mask)
+            losses, aux = rml_losses(variables, apply_fn, batch, key, cfg, attn_mask,
+                                     cam_apply_fn=cam_apply_fn)
             warm = (state.step <= cfg.cam_iters).astype(jnp.float32)
             full = 1.0 - warm
             total = losses["cls"] + full * (

@@ -58,7 +58,8 @@ def _attn_mask(cfg: SCDConfig) -> jnp.ndarray:
     return jnp.asarray(CU.get_mask_by_radius(s, s, cfg.attn_radius))
 
 
-def scd_losses(variables, apply_fn, batch, key, cfg: SCDConfig, attn_mask, train: bool = True):
+def scd_losses(variables, apply_fn, batch, key, cfg: SCDConfig, attn_mask,
+               train: bool = True, cam_apply_fn=None):
     """Compute the six SCD losses + diagnostics for one batch.
     batch: dict(image (B,H,W,3) normalized, cls_label (B,C-1), img_box (B,4))."""
     inputs = batch["image"]
@@ -75,7 +76,13 @@ def scd_losses(variables, apply_fn, batch, key, cfg: SCDConfig, attn_mask, train
             mutable=["batch_stats"] if train else False,
         )
 
-    cam_fn = lambda x: apply_fn(variables, x, cam_only=True)
+    # no-grad inference over the same params (`utils/camutils.py:88,118`
+    # torch.no_grad) — params/inputs stop-gradient so autodiff never enters, and
+    # may run through a fused twin with collect_attns="none" (the ref mat is
+    # discarded below)
+    sg_vars = jax.lax.stop_gradient(variables)
+    cam_fn = lambda x: (cam_apply_fn or apply_fn)(
+        sg_vars, jax.lax.stop_gradient(x), cam_only=True)
 
     # main forward
     out = full_apply(variables, inputs)
@@ -152,7 +159,7 @@ def scd_total_loss(losses: dict, step, cfg: SCDConfig):
     )
 
 
-def make_scd_train_step(apply_fn, cfg: SCDConfig):
+def make_scd_train_step(apply_fn, cfg: SCDConfig, cam_apply_fn=None):
     attn_mask = _attn_mask(cfg)
 
     @jax.jit
@@ -161,7 +168,8 @@ def make_scd_train_step(apply_fn, cfg: SCDConfig):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            losses, aux = scd_losses(variables, apply_fn, batch, key, cfg, attn_mask, train=True)
+            losses, aux = scd_losses(variables, apply_fn, batch, key, cfg, attn_mask,
+                                     train=True, cam_apply_fn=cam_apply_fn)
             total = scd_total_loss(losses, state.step, cfg)
             return total, (losses, aux)
 

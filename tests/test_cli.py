@@ -129,6 +129,36 @@ def test_train_rml_cli_device_augment(tmp_path):
     assert int(state.step) == 1
 
 
+def test_train_scd_cli_coco(tmp_path):
+    """dataset.name=coco selects the COCO loaders inside the same trainer —
+    the runnable equivalent of `scripts/dist_train_coco.py` (synthetic
+    fallback; 81 classes shrunk for the smoke)."""
+    from representationlearning_tpu.cli.train_scd import main
+
+    state = main([
+        "--config", "configs/scd_coco.yaml",
+        "backbone.config=mit_b0",
+        "dataset.crop_size=64", "dataset.num_classes=9", "dataset.synthetic_n=8",
+        "train.max_iters=2", "train.cam_iters=-1", "train.eval_iters=2",
+        "train.log_iters=1", "train.samples_per_gpu=1",
+        f"work_dir.dir={tmp_path}",
+    ])
+    assert int(state.step) == 2
+
+
+def test_train_rml_cli_coco(tmp_path):
+    from representationlearning_tpu.cli.train_rml import main
+
+    state = main([
+        "--config", "configs/rml_coco.yaml",
+        "backbone.config=mit_b0", "dataset.crop_size=64", "dataset.num_classes=9",
+        "dataset.synthetic_n=8", "train.max_iters=1", "train.cam_iters=-1",
+        "train.eval_iters=1", "train.log_iters=1", "train.samples_per_gpu=1",
+        "cam.scales=[1.0,0.5]", f"work_dir={tmp_path}",
+    ])
+    assert int(state.step) == 1
+
+
 def test_convert_checkpoint_cli(tmp_path):
     import torch
     import jax
