@@ -387,11 +387,18 @@ def bench_rml_train(peak):
     from representationlearning_tpu.train.rml import RMLConfig, make_rml_train_step
     from representationlearning_tpu.train.state import TrainState
 
-    batch = 4
+    # batch swept on-chip (PERF.md round 4): 4 -> 94.8, 16 -> 113.2, 32 -> 114.1
+    # img/s; 16 is the knee (metric is img/s/chip — the reference's per-GPU 2x2
+    # batch starves a 197 TF/s chip)
+    batch = 16
     cfg = RMLConfig(crop_size=320, cam_iters=-1)
     aug_cfg = DeviceAugConfig(crop_size=320, scale_range=(0.5, 2.0),
                               num_classes=21)
     model = RMLModel(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16)
+    # the no-grad CAM forwards run through the fused-block twin (identical
+    # params, collect_attns="none"): +32% measured at batch 4 (PERF.md round 4)
+    cam_twin = RMLModel(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16,
+                        fused_blocks=True, collect_attns="none")
     rng = np.random.default_rng(0)
     x = jnp.zeros((1, 320, 320, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
@@ -406,7 +413,7 @@ def bench_rml_train(peak):
         "hw": jnp.tile(jnp.asarray([[375, 500]], jnp.int32), (batch, 1)),
         "cls_label": jnp.asarray((rng.random((batch, 20)) > 0.7), jnp.float32),
     }
-    inner = make_rml_train_step(model.apply, cfg)
+    inner = make_rml_train_step(model.apply, cfg, cam_apply_fn=cam_twin.apply)
 
     @jax.jit
     def step_fn(state, b, key):
@@ -417,10 +424,20 @@ def bench_rml_train(peak):
                              "cls_label": b["cls_label"]}, k_step)
 
     rate = _train_rate(step_fn, state, batch_data, jax.random.PRNGKey(0), batch)
+    # Baseline FLOPs are pinned to the REFERENCE-EQUIVALENT step (the un-twinned
+    # XLA path with attention export, `cam_apply_fn=None`): 157.57 GF/example,
+    # XLA cost analysis recorded in BENCH_r03.json. The fused cam twin skips
+    # work the reference performs (attention export in the no-grad forwards),
+    # so costing the optimized program would inflate the phantom A100's rate
+    # as we optimize — the same convention the headline uses (unfused-model
+    # FLOPs). Measured FLOPs of the optimized program are reported alongside.
+    ref_flops_per_ex = 157.57e9
     flops = flops_per_call(step_fn, state, batch_data, jax.random.PRNGKey(0))
     return _emit(
         "rml_mitb1_320_train_images_per_sec_per_chip", rate, "images/s",
-        flops / batch if flops else None, ASSUMED_A100_TRAIN_MFU, peak,
+        ref_flops_per_ex, ASSUMED_A100_TRAIN_MFU, peak,
+        extra={"measured_flops_per_example_g":
+               round(flops / batch / 1e9, 2) if flops else None},
     )
 
 

@@ -73,6 +73,12 @@ def main(argv=None):
     model = RMLModel(backbone=cfg.backbone.config,
                      num_classes=cfg.dataset.num_classes,
                      strides=tuple(cfg.backbone.stride))
+    # fused-kernel twin for the no-grad CAM forwards inside the train step
+    # (identical param tree; +32% step throughput measured, PERF.md round 4)
+    cam_twin = RMLModel(backbone=cfg.backbone.config,
+                        num_classes=cfg.dataset.num_classes,
+                        strides=tuple(cfg.backbone.stride),
+                        fused_blocks=True, collect_attns="none")
 
     mesh = M.make_mesh()
     global_batch = cfg.train.samples_per_gpu * mesh.shape[M.DATA_AXIS]
@@ -97,7 +103,7 @@ def main(argv=None):
         log.info("resumed from step %d", int(state.step))
     state = M.replicate(mesh, state)
 
-    step_fn = make_rml_train_step(model.apply, rml_cfg)
+    step_fn = make_rml_train_step(model.apply, rml_cfg, cam_apply_fn=cam_twin.apply)
     if device_aug:
         from ..data.device_transforms import (
             DeviceAugConfig, augment_cls_batch, sample_cls_decisions,

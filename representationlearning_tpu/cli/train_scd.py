@@ -124,6 +124,12 @@ def main(argv=None):
     model_eval = TSCD(backbone=cfg.backbone.config,
                       num_classes=cfg.dataset.num_classes,
                       strides=tuple(cfg.backbone.stride), fused_blocks=True)
+    # fused-kernel twin for the no-grad CAM forwards inside the train step
+    # (identical param tree, attention export skipped — the ref mat is unused)
+    cam_twin = TSCD(backbone=cfg.backbone.config,
+                    num_classes=cfg.dataset.num_classes,
+                    strides=tuple(cfg.backbone.stride),
+                    fused_blocks=True, collect_attns="none")
 
     device_aug = bool(cfg.dataset.get("device_augment", False))
     train_ds, val_ds = make_wsss_datasets(cfg, device_aug)
@@ -144,7 +150,7 @@ def main(argv=None):
         log.info("resumed from step %d", int(state.step))
 
     state = M.replicate(mesh, state)
-    step_fn = make_scd_train_step(model.apply, scd_cfg)
+    step_fn = make_scd_train_step(model.apply, scd_cfg, cam_apply_fn=cam_twin.apply)
     if device_aug:
         from ..data.device_transforms import (
             DeviceAugConfig, augment_cls_batch, sample_cls_decisions,

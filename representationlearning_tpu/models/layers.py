@@ -208,3 +208,32 @@ class TorchLinear(nn.Module):
 
 def layer_norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
     return nn.LayerNorm(epsilon=eps)(x)
+
+
+class AttnProj(nn.Module):
+    """The TSCD/RML affinity head (`TSCD_model.py:38,73-76`): a 1x1 conv with
+    2*nh input channels over the channel-concat of the last two exported
+    attention maps. Param tree is IDENTICAL to ``nn.Conv(1, (1, 1))`` (kernel
+    (1, 1, in_ch, 1) + bias (1,)) so converted checkpoints load unchanged, but
+    the forward contracts each (B, nh, N, N) map against its kernel slice
+    directly — the reference formulation's concat + NHWC transpose lowered to
+    two ~160 MB layout copies per step at the 400x400 affinity grid (xplane,
+    PERF.md round 4). Returns pre-sigmoid logits (B, N, N)."""
+
+    in_ch: int
+
+    @nn.compact
+    def __call__(self, attn_list):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.in_ch, 1))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        w = kernel[0, 0, :, 0]
+        out = None
+        ofs = 0
+        for a in attn_list:
+            nh = a.shape[1]
+            term = jnp.einsum("bknm,k->bnm", a, w[ofs:ofs + nh],
+                              preferred_element_type=jnp.float32)
+            out = term if out is None else out + term
+            ofs += nh
+        return out + bias[0]

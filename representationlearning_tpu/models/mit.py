@@ -192,14 +192,18 @@ class _DenseParams(nn.Module):
 
 
 class _ConvParams(nn.Module):
-    """Param holder matching nn.Conv's tree (HWIO kernel, bias)."""
+    """Param holder matching nn.Conv's tree (HWIO kernel, optional bias)."""
 
     shape: tuple  # (kh, kw, cin_per_group, cout)
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
-        return (self.param("kernel", fan_out_conv_init(), self.shape),
-                self.param("bias", nn.initializers.zeros, (self.shape[-1],)))
+        kernel = self.param("kernel", fan_out_conv_init(), self.shape)
+        if not self.use_bias:
+            return kernel, None
+        return kernel, self.param("bias", nn.initializers.zeros,
+                                  (self.shape[-1],))
 
 
 class _FusedAttnParams(nn.Module):
@@ -296,10 +300,23 @@ class OverlapPatchEmbed(nn.Module):
     def __call__(self, x: jax.Array):
         """x NHWC -> tokens (B, N, C), H', W'."""
         p = self.patch_size // 2
-        x = TorchConv(
-            self.embed_dim, (self.patch_size, self.patch_size),
-            stride=(self.stride, self.stride), padding=(p, p), name="proj",
-        )(x)
+        C = x.shape[-1]
+        if jax.default_backend() == "tpu" and self.stride > 1 and C <= 8:
+            # RGB stem: space-to-depth form of the same conv — identical
+            # taps/weights, but the MXU contracts s*s*C channels instead of 3
+            # (the stride-4 7x7 stem measured 0.94 ms at 4 TF/s, PERF.md r4)
+            from ..ops.image import space_to_depth_conv
+
+            kernel, bias = _ConvParams(
+                (self.patch_size, self.patch_size, C, self.embed_dim),
+                name="proj")()
+            x = space_to_depth_conv(x, kernel, bias, stride=self.stride,
+                                    padding=p)
+        else:
+            x = TorchConv(
+                self.embed_dim, (self.patch_size, self.patch_size),
+                stride=(self.stride, self.stride), padding=(p, p), name="proj",
+            )(x)
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)

@@ -92,8 +92,20 @@ class ResNet50Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = TorchConv(64, (7, 7), stride=(self.strides[0], self.strides[0]),
-                      padding=(3, 3), use_bias=False, name="conv1")(x)
+        s0 = self.strides[0]
+        if jax.default_backend() == "tpu" and s0 > 1 and x.shape[-1] <= 8:
+            # RGB stem as a space-to-depth conv (identical taps; the Cin=3 conv
+            # starves the MXU — see ops/image.py::space_to_depth_conv)
+            from ..ops.image import space_to_depth_conv
+            from .mit import _ConvParams
+
+            kernel, _ = _ConvParams((7, 7, x.shape[-1], 64), use_bias=False,
+                                    name="conv1")()
+            x = space_to_depth_conv(x, kernel, None, stride=s0, padding=3,
+                                    dtype=self.dtype)
+        else:
+            x = TorchConv(64, (7, 7), stride=(s0, s0),
+                          padding=(3, 3), use_bias=False, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         x = _max_pool_3x3_s2(x)

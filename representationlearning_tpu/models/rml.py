@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from ..core.registry import MODELS
 from ..ops.image import adaptive_avg_pool_11, adaptive_max_pool_11, resize_bilinear_auto
-from .layers import TorchConv
+from .layers import AttnProj, TorchConv
 from .mit import MIT_CONFIGS, MixVisionTransformer
 from .segformer_head import SegFormerHead
 from .wavemlp import PATM
@@ -64,7 +64,7 @@ class RMLModel(nn.Module):
             **cfg, name="encoder"
         )
         self.neck = SimpleFusionNeck(self.seg_classes, name="neck")
-        self.attn_proj = nn.Conv(1, (1, 1), use_bias=True, name="attn_proj")
+        self.attn_proj = AttnProj(16, name="attn_proj")
         self.classifier = nn.Conv(self.num_classes - 1, (1, 1), use_bias=False,
                                   name="classifier")
         if self.use_wave:
@@ -75,9 +75,7 @@ class RMLModel(nn.Module):
         x4 = feats[3]
 
         if attns:
-            attn_cat = jnp.concatenate(attns[-2:], axis=1)
-            attn_pred = jax.nn.sigmoid(
-                self.attn_proj(attn_cat.transpose(0, 2, 3, 1))[..., 0])
+            attn_pred = jax.nn.sigmoid(self.attn_proj(attns[-2:]))
         else:  # collect_attns == "none"
             attn_pred = None
 

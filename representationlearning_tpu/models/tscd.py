@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from ..core.registry import MODELS
 from ..ops.image import adaptive_avg_pool_11, adaptive_max_pool_11
+from .layers import AttnProj
 from .mit import MIT_CONFIGS, MixVisionTransformer
 from .segformer_head import SegFormerHead
 
@@ -53,7 +54,7 @@ class TSCD(nn.Module):
             dtype=self.dtype, name="decoder",
         )
         # 2 stage-4 blocks x num_heads(8) = 16 input channels (`TSCD_model.py:38`)
-        self.attn_proj = nn.Conv(1, (1, 1), use_bias=True, name="attn_proj")
+        self.attn_proj = AttnProj(16, name="attn_proj")
         self.classifier = nn.Conv(
             self.num_classes - 1, (1, 1), use_bias=False, name="classifier"
         )
@@ -69,10 +70,9 @@ class TSCD(nn.Module):
 
         if attns:
             # affinity prediction from the last two attention maps: (B, nh, Nk, Nk) x2
-            # -> channel-concat -> 1x1 conv -> sigmoid (`TSCD_model.py:73-76`)
-            attn_cat = jnp.concatenate(attns[-2:], axis=1)  # (B, 16, Nk, Nk)
-            attn_nhwc = attn_cat.transpose(0, 2, 3, 1)
-            attn_pred = jax.nn.sigmoid(self.attn_proj(attn_nhwc)[..., 0])  # (B, Nk, Nk)
+            # -> 1x1-conv-equivalent channel contraction -> sigmoid
+            # (`TSCD_model.py:73-76`; see layers.AttnProj for the layout argument)
+            attn_pred = jax.nn.sigmoid(self.attn_proj(attns[-2:]))  # (B, Nk, Nk)
         else:  # collect_attns == "none"
             attn_pred = None
 

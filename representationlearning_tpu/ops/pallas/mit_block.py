@@ -59,20 +59,30 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps", export=False):
+def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps", export=False,
+                h=None, xs=None):
     """Shared fused-block math on (N, C) arrays (no batch dim). jnp ops only, so
     it runs identically inside the pallas kernel and as the XLA reference.
     With export=True (requires sr == 1) also returns the raw pre-scale attention
     logits (nh, N, N) — the affinity maps the TSCD head consumes
-    (`mix_transformer.py:123-133`; no query pooling needed at sr == 1)."""
+    (`mix_transformer.py:123-133`; no query pooling needed at sr == 1).
+
+    h / xs may be PRECOMPUTED (the pre-sr kernel variant): h = ln1(x) and
+    xs = srnorm(srconv(h)) arrive as kernel inputs, computed by XLA outside —
+    the sr-as-taps form unrolls into sr^2 tiny (Nk, C)@(C, C) matmuls that
+    measured ~2 TF/s at stage-1 geometry (PERF.md round 4), while XLA's strided
+    conv emitter handles the same reduction natively."""
     N, C = x.shape
     hd = C // nh
     scale = hd ** -0.5
 
-    h = _ln(x, p["ln1_scale"], p["ln1_bias"])                     # (N, C) f32
+    if h is None:
+        h = _ln(x, p["ln1_scale"], p["ln1_bias"])                 # (N, C) f32
     q = _mm(h, p["q_kernel"], dtype) + p["q_bias"].astype(jnp.float32)
 
-    if sr > 1:
+    if xs is not None:
+        pass
+    elif sr > 1:
         # kernel==stride conv == non-overlapping patch matmul. Two formulations:
         # - "patch": flatten (sr, sr, C) patches and do ONE matmul — fastest
         #   under XLA, but the lane-merging reshape ((.., sr, C) -> sr*sr*C) is
@@ -191,22 +201,65 @@ def _kernel(*refs, keys, H, W, sr, nh, dtype, export):
         refs[-1][0] = res.astype(refs[-1].dtype)
 
 
+def _kernel_presr(*refs, keys, H, W, sr, nh, dtype):
+    """Kernel variant taking precomputed h = ln1(x) and xs = srnorm(srconv(h))."""
+    x_ref, h_ref, xs_ref = refs[0], refs[1], refs[2]
+    p = {k: r[...] for k, r in zip(keys, refs[3:-1])}
+    res = _block_math(x_ref[0], p, H=H, W=W, sr=sr, nh=nh, dtype=dtype,
+                      h=h_ref[0], xs=xs_ref[0])
+    refs[-1][0] = res.astype(refs[-1].dtype)
+
+
+def sr_reduce_xla(x, p, *, H, W, sr, dtype):
+    """The fused block's pre-attention reductions as batched XLA ops:
+    h = ln1(x) and xs = srnorm(srconv(h) + bias). x (B, N, C) tokens.
+    Same math as the in-kernel taps accumulation (bf16 operands, f32 accum),
+    but through XLA's strided-conv emitter, which tiles the (sr, sr, C) -> C
+    reduction onto the MXU instead of sr^2 thin matmuls."""
+    B, N, C = x.shape
+    Hs, Ws = H // sr, W // sr
+    h = _ln(x, p["ln1_scale"], p["ln1_bias"])                      # (B, N, C) f32
+    h2d = h.reshape(B, H, W, C)[:, : Hs * sr, : Ws * sr]
+    xs = jax.lax.conv_general_dilated(
+        h2d.astype(dtype), p["sr_kernel"].astype(dtype), (sr, sr), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    xs = xs.reshape(B, Hs * Ws, C) + p["sr_bias"].astype(jnp.float32)
+    xs = _ln(xs, p["srnorm_scale"], p["srnorm_bias"])
+    return h, xs
+
+
 def fused_block_pallas(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
                        W: int, sr: int, nh: int, dtype: Any = jnp.float32,
-                       export: bool = False, interpret: bool | None = None):
+                       export: bool = False, interpret: bool | None = None,
+                       h: jax.Array | None = None,
+                       xs: jax.Array | None = None):
     """Whole-block pallas kernel: grid over batch, everything VMEM-resident.
     With export=True (sr == 1 only) a second output carries the raw attention
-    logits (B, nh, N, N) in f32."""
+    logits (B, nh, N, N) in f32. With h/xs given (sr > 1), the LN1 + sr-conv
+    reductions were computed outside by XLA (`sr_reduce_xla`) and stream in as
+    extra inputs — the sr params are then not loaded at all."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, N, C = x.shape
-    keys, plist = _param_list(p, sr)
+    pre_sr = xs is not None
+    keys, plist = _param_list(p, 1 if pre_sr else sr)
 
     in_specs = [pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)]
+    operands = [x]
+    if pre_sr:
+        Nk = xs.shape[1]
+        in_specs.append(pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, Nk, C), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands += [h, xs]
     for arr in plist:
         in_specs.append(pl.BlockSpec(arr.shape, lambda b, n=arr.ndim: (0,) * n,
                                      memory_space=pltpu.VMEM))
+    operands += plist
 
     out_specs = pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -219,9 +272,14 @@ def fused_block_pallas(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((B, nh, N, N), jnp.float32))
 
+    if pre_sr:
+        kern = functools.partial(_kernel_presr, keys=tuple(keys), H=H, W=W,
+                                 sr=sr, nh=nh, dtype=dtype)
+    else:
+        kern = functools.partial(_kernel, keys=tuple(keys), H=H, W=W, sr=sr,
+                                 nh=nh, dtype=dtype, export=export)
     return pl.pallas_call(
-        functools.partial(_kernel, keys=tuple(keys), H=H, W=W, sr=sr, nh=nh,
-                          dtype=dtype, export=export),
+        kern,
         grid=(B,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -229,7 +287,7 @@ def fused_block_pallas(x: jax.Array, p: Mapping[str, jax.Array], *, H: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(x, *plist)
+    )(*operands)
 
 
 _VMEM_BUDGET = 100 * 1024 * 1024
@@ -242,6 +300,8 @@ def _vmem_fits(N: int, C: int, hid: int, Nk: int, nh: int = 0,
     (N, Nk) score tile per head, the exported (nh, N, N) logit stack when
     exporting, plus slack."""
     est = 5 * N * C * 4 + 3 * N * hid * 4 + N * Nk * 4
+    # pre-sr variant streams h (N, C) and xs (Nk, C) in as extra inputs
+    est += N * C * 4 + Nk * C * 4
     if export:
         est += nh * N * Nk * 4
     return est <= _VMEM_BUDGET
@@ -251,13 +311,20 @@ def fused_block(x: jax.Array, p: Mapping[str, jax.Array], *, H: int, W: int,
                 sr: int, nh: int, dtype: Any = jnp.float32,
                 export: bool = False):
     """Dispatcher: pallas kernel on TPU when the geometry fits VMEM, XLA
-    reference elsewhere (CPU backends, oversized inputs)."""
+    reference elsewhere (CPU backends, oversized inputs). For sr > 1 blocks the
+    LN1 + sr-conv front runs as XLA ops feeding the kernel (`sr_reduce_xla`):
+    measured on v5e, the in-kernel sr^2-tap form ran stage-1 blocks at ~2 TF/s
+    while XLA's strided conv is MXU-tiled (PERF.md round 4)."""
     B, N, C = x.shape
     hid = p["fc1_kernel"].shape[1]
     Nk = (H // sr) * (W // sr) if sr > 1 else N
     if (jax.default_backend() == "tpu"
             and _vmem_fits(N, C, hid, Nk, nh, export)
             and (not export or sr == 1)):
+        if sr > 1 and Nk > 0:
+            h, xs = sr_reduce_xla(x, p, H=H, W=W, sr=sr, dtype=dtype)
+            return fused_block_pallas(x, p, H=H, W=W, sr=sr, nh=nh,
+                                      dtype=dtype, h=h, xs=xs)
         return fused_block_pallas(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype,
                                   export=export)
     return fused_block_reference(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype,

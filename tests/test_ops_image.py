@@ -99,3 +99,28 @@ def test_resize_bilinear_mm_matches_gather(align, sizes):
     flipped = np.asarray(I.resize_bilinear_mm(x, out, align_corners=align,
                                               flip_w=True))
     np.testing.assert_array_equal(flipped, got[:, :, ::-1])
+
+
+def test_space_to_depth_conv_matches_strided_conv():
+    """space_to_depth_conv == conv(pad(x), k, stride) for RGB-stem geometries
+    (incl. the MiT 7x7/s4 and ResNet 7x7/s2 stems and non-divisible sizes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from representationlearning_tpu.ops.image import space_to_depth_conv
+
+    rng = np.random.default_rng(0)
+    for (H, W, k, s, p, C, O) in [(64, 64, 7, 4, 3, 3, 16),
+                                  (64, 64, 7, 2, 3, 3, 16),
+                                  (33, 47, 7, 4, 3, 3, 8),
+                                  (32, 32, 3, 2, 1, 4, 8)]:
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+        kern = jnp.asarray(rng.standard_normal((k, k, C, O)), jnp.float32) * 0.1
+        b = jnp.asarray(rng.standard_normal((O,)), jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            x, kern, (s, s), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = space_to_depth_conv(x, kern, b, stride=s, padding=p)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5)

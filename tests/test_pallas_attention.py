@@ -166,6 +166,27 @@ def test_fused_mit_block_matches_block_all_stages():
         np.testing.assert_allclose(np.asarray(gotk), np.asarray(want), atol=2e-5)
 
 
+def test_fused_mit_block_pre_sr_matches_block():
+    """The pre-sr kernel variant (LN1 + sr conv computed by XLA outside,
+    `sr_reduce_xla`, the TPU default for sr > 1 blocks) matches `Block` too."""
+    from representationlearning_tpu.models.mit import Block
+    from representationlearning_tpu.ops.pallas.mit_block import (
+        block_variables_to_fused, fused_block_pallas, sr_reduce_xla)
+
+    rng = np.random.default_rng(1)
+    for (hw, C, sr, nh) in [(16, 64, 8, 1), (16, 128, 4, 2), (8, 320, 2, 5),
+                            (19, 64, 8, 1), (13, 128, 4, 2)]:
+        tok = jnp.asarray(rng.standard_normal((2, hw * hw, C)), jnp.float32)
+        blk = Block(C, nh, 4.0, sr, export_attn=False)
+        v = blk.init(jax.random.PRNGKey(0), tok, hw, hw)
+        want, _ = blk.apply(v, tok, hw, hw)
+        p = block_variables_to_fused(v["params"])
+        h, xs = sr_reduce_xla(tok, p, H=hw, W=hw, sr=sr, dtype=jnp.float32)
+        got = fused_block_pallas(tok, p, H=hw, W=hw, sr=sr, nh=nh,
+                                 h=h, xs=xs, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_fused_mit_block_attention_export_matches_block():
     """Export variant (sr == 1, the stage-4 affinity exporters): output AND the
     raw pre-scale attention logits match `Block(export_attn=True)` in both the
