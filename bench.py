@@ -110,6 +110,16 @@ def _emit(metric, value, unit, flops_per_ex, assumed_a100_mfu, peak, extra=None)
     return rec
 
 
+def _voc_like_labels(rng, batch, num_fg):
+    """Multi-hot labels at VOC12 density: 1-3 present classes per image
+    (p = 0.7/0.2/0.1; dataset mean ~1.5, max ~6)."""
+    out = np.zeros((batch, num_fg), np.float32)
+    for i in range(batch):
+        k = rng.choice([1, 2, 3], p=[0.7, 0.2, 0.1])
+        out[i, rng.choice(num_fg, size=k, replace=False)] = 1.0
+    return out
+
+
 # ----------------------------------------------------------------- inference benches
 def bench_segformer_b1_predict(peak, use_flash=False):
     """Headline: TSCD(SegFormer-MiT-B1) 512^2 seg inference tiles/s/chip.
@@ -177,10 +187,13 @@ def bench_wavecam_cams(peak):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
 
     def cam_fwd(v, x):
-        # flip-pair CAM (`make_cam.py` per-scale work unit): img + hflip, relu, sum
-        c = model.apply(v, x, method=model.cam)
-        cf = model.apply(v, x[:, :, ::-1], method=model.cam)
-        cam = jnp.maximum(c, 0) + jnp.maximum(cf, 0)[:, :, ::-1]
+        # flip-pair CAM (`make_cam.py` per-scale work unit): img + hflip, relu,
+        # sum — ONE batched forward over the stacked pair, as the reference's
+        # MSF loader stacks them (`voc12/dataloader.py:259-287`; wsss/msf.py)
+        b = x.shape[0]
+        cc = model.apply(v, jnp.concatenate([x, x[:, :, ::-1]], axis=0),
+                         method=model.cam)
+        cam = jnp.maximum(cc[:b], 0) + jnp.maximum(cc[b:], 0)[:, :, ::-1]
         return cam.mean().astype(jnp.float32)
 
     @jax.jit
@@ -391,7 +404,10 @@ def bench_rml_train(peak):
     # img/s; 16 is the knee (metric is img/s/chip — the reference's per-GPU 2x2
     # batch starves a 197 TF/s chip)
     batch = 16
-    cfg = RMLConfig(crop_size=320, cam_iters=-1)
+    # max_present=8: the refine propagation only carries each image's PRESENT
+    # classes (exact; tests/test_camutils.py) — the reference's per-image loop
+    # does the same (`camutils.py:183-193`). 8 safely bounds VOC (<= ~6/image).
+    cfg = RMLConfig(crop_size=320, cam_iters=-1, max_present=8)
     aug_cfg = DeviceAugConfig(crop_size=320, scale_range=(0.5, 2.0),
                               num_classes=21)
     model = RMLModel(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16)
@@ -411,7 +427,11 @@ def bench_rml_train(peak):
     batch_data = {
         "raw": jnp.asarray(rng.integers(0, 256, (batch, 512, 512, 3)), jnp.uint8),
         "hw": jnp.tile(jnp.asarray([[375, 500]], jnp.int32), (batch, 1)),
-        "cls_label": jnp.asarray((rng.random((batch, 20)) > 0.7), jnp.float32),
+        # VOC-like label density (~1.5 present classes/image; the previous
+        # p=0.3 Bernoulli gave ~6/image, 4x denser than the dataset the driver
+        # config trains on). The refine cost is work-proportional to presence
+        # in the reference too (per-image valid-class loop).
+        "cls_label": jnp.asarray(_voc_like_labels(rng, batch, 20), jnp.float32),
     }
     inner = make_rml_train_step(model.apply, cfg, cam_apply_fn=cam_twin.apply)
 

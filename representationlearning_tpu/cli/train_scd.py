@@ -115,6 +115,7 @@ def main(argv=None):
         cam_scales=tuple(cfg.cam.scales), bkg_score=cfg.cam.bkg_score,
         high_thre=cfg.cam.high_thre, low_thre=cfg.cam.low_thre,
         ignore_index=cfg.dataset.ignore_index, cam_iters=cfg.train.cam_iters,
+        max_present=cfg.dataset.get("max_present", None),
     )
     model = TSCD(backbone=cfg.backbone.config, num_classes=cfg.dataset.num_classes,
                  strides=tuple(cfg.backbone.stride))

@@ -356,6 +356,12 @@ class MixVisionTransformer(nn.Module):
     fused_blocks: bool = False  # inference: run non-exporting blocks as single fused
     # pallas kernels (see FusedBlock); identical param tree, so the flag can be
     # flipped on any trained/converted checkpoint
+    act_dtype: Any = None  # storage dtype of the inter-block residual stream
+    # (e.g. jnp.bfloat16). The headline roofline is HBM traffic on the
+    # high-resolution activation stream (PERF.md); bf16 residency halves the
+    # per-block kernel I/O while LN statistics stay f32 (`_ln` upcasts) and the
+    # XLA/exporting blocks — whose MixFFN depthwise conv is the measured bf16
+    # pathology — still run on an f32 stream. None = exact f32 residency.
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True):
@@ -379,6 +385,12 @@ class MixVisionTransformer(nn.Module):
                     block_cls = FusedBlock
                 else:
                     block_cls = Block
+                fused = block_cls is FusedBlock
+                if self.act_dtype is not None:
+                    # fused kernels take the bf16 stream directly (f32 math
+                    # inside); XLA blocks get an f32 stream (bf16-fed depthwise
+                    # convs are pathological under XLA's emitter)
+                    x = x.astype(self.act_dtype if fused else jnp.float32)
                 x, attn = block_cls(
                     self.embed_dims[s], self.num_heads[s], self.mlp_ratios[s],
                     self.sr_ratios[s], self.qkv_bias, self.drop_rate,

@@ -55,12 +55,16 @@ class RMLModel(nn.Module):
     # chain discards the ref mat (`train/rml.py`), so the exported (B, nh, N, N)
     # logits would be pure HBM traffic
     dtype: Any = jnp.float32
+    act_dtype: Any = None  # inter-block residual-stream storage dtype for the
+    # encoder (bf16 halves the HBM-bound activation traffic; LN stats stay f32
+    # — see MixVisionTransformer.act_dtype). None = exact f32.
 
     def setup(self):
         cfg = dict(MIT_CONFIGS[self.backbone])
         self.encoder = MixVisionTransformer(
             strides=self.strides, dtype=self.dtype,
             fused_blocks=self.fused_blocks, collect_attns=self.collect_attns,
+            act_dtype=self.act_dtype,
             **cfg, name="encoder"
         )
         self.neck = SimpleFusionNeck(self.seg_classes, name="neck")

@@ -41,12 +41,16 @@ class TSCD(nn.Module):
     # exporters otherwise materialize (B, nh, N, N) f32 logits — 1.4 GB apiece at
     # the 1.5x CAM scale.
     dtype: Any = jnp.float32
+    act_dtype: Any = None  # inter-block residual-stream storage dtype for the
+    # encoder (bf16 halves the HBM-bound activation traffic; LN stats stay f32
+    # — see MixVisionTransformer.act_dtype). None = exact f32.
 
     def setup(self):
         cfg = dict(MIT_CONFIGS[self.backbone])
         self.encoder = MixVisionTransformer(
             strides=self.strides, dtype=self.dtype, use_flash=self.use_flash,
             fused_blocks=self.fused_blocks, collect_attns=self.collect_attns,
+            act_dtype=self.act_dtype,
             **cfg, name="encoder"
         )
         self.decoder = SegFormerHead(

@@ -33,8 +33,6 @@ from ...models.refine import _OFFSETS
 
 
 def _kernel(ref_ref, m_ref, out_ref, scratch, *, dilations, num_iter, H, W, CB, D):
-    offsets = [(d, dy, dx) for d in dilations for (dy, dx) in _OFFSETS]
-
     def one_iter(m):
         # refresh the replicate-padded scratch from the current masks
         scratch[:, D : D + H, D : D + W] = m
@@ -50,9 +48,18 @@ def _kernel(ref_ref, m_ref, out_ref, scratch, *, dilations, num_iter, H, W, CB, 
             scratch[:, :, D + W - 1 : D + W], (CB, H + 2 * D, D)
         )
         acc = jnp.zeros((CB, H, W), jnp.float32)
-        for k, (d, dy, dx) in enumerate(offsets):
-            nb = scratch[:, D + dy * d : D + dy * d + H, D + dx * d : D + dx * d + W]
-            acc = acc + nb * ref_ref[0, k][None]
+        k = 0
+        for d in dilations:
+            # hoist the three W-column slices per dilation: lane-dimension
+            # (minor-most) shifts are the expensive relayouts — 8 per dilation
+            # as per-tap slices, 3 when shared across the dy taps. Accumulation
+            # order over k is unchanged (bit-exact vs the XLA path).
+            cols = {dx: scratch[:, :, D + dx * d : D + dx * d + W]
+                    for dx in (-1, 0, 1)}
+            for (dy, dx) in _OFFSETS:
+                nb = cols[dx][:, D + dy * d : D + dy * d + H, :]
+                acc = acc + nb * ref_ref[0, k][None]
+                k += 1
         return acc
 
     m = jax.lax.fori_loop(0, num_iter, lambda i, m: one_iter(m), m_ref[0])

@@ -121,6 +121,7 @@ def refine_cams_with_bkg_v2(
     low_thre: float = 0.35,
     ignore_index: int = 255,
     down_scale: int = 2,
+    max_present: int | None = None,
 ):
     """Background-aware VARM refinement (`camutils.py:161-201`), batched: the reference's
     per-image valid-key gather/softmax becomes a channel mask with -inf logits — VARM
@@ -128,10 +129,32 @@ def refine_cams_with_bkg_v2(
 
     refine_fn(images, masks) -> refined masks (e.g. `models.refine.varm_refine`).
     cams (B,H,W,C_fg); returns refined pseudo label (B,H,W) in {0..C_fg, ignore}.
+
+    max_present: static cap on present classes per image. The reference's
+    per-image loop (`camutils.py:183-193`) only refines the classes PRESENT in
+    each image (VOC: ~1-3 of 20); the batched full-channel form propagates all
+    C_fg, which dominated the profiled RML step (PERF.md round 4). With
+    max_present=P, the present classes are gathered per image (stable class
+    order, exactly the reference's valid-key order) and only P fg channels are
+    propagated — numerically identical to the full path (absent channels carry
+    exp(-inf)=0 through the softmax and never win the argmax) PROVIDED every
+    image has <= P present classes; the caller owns that bound (dataset stat —
+    a violated bound silently drops the excess classes from refinement).
     """
     B, H, W, Cf = cams.shape
     small = (H // down_scale, W // down_scale)
     imgs_small = resize_bilinear_auto(images_denorm, small, align_corners=False)
+
+    if max_present is not None and max_present < Cf:
+        # stable gather of present-class indices: argsort of (1 - label) puts
+        # present classes first in class order, matching the reference's
+        # `torch.where(cls_label == 1)` key order
+        idx = jnp.argsort(1.0 - cls_labels, axis=1, stable=True)[:, :max_present]
+        cams = jnp.take_along_axis(cams, idx[:, None, None, :], axis=-1)
+        cls_labels = jnp.take_along_axis(cls_labels, idx, axis=1)
+        Cf = max_present
+    else:
+        idx = None
 
     bkg_cls = jnp.ones((B, 1), cams.dtype)
     valid = jnp.concatenate([bkg_cls, cls_labels], axis=1)  # (B, C)
@@ -157,7 +180,13 @@ def refine_cams_with_bkg_v2(
     def label_of(ref):
         ref = resize_bilinear_auto(ref, (H, W), align_corners=False)
         ref = jnp.where(valid[:, None, None, :] > 0, ref, neg_inf)
-        return ref.argmax(axis=-1)
+        lbl = ref.argmax(axis=-1)
+        if idx is None:
+            return lbl
+        # map compact fg indices back to original class ids (bkg stays 0)
+        full = jnp.take_along_axis(idx, jnp.maximum(lbl - 1, 0).reshape(B, -1),
+                                   axis=1).reshape(B, H, W) + 1
+        return jnp.where(lbl == 0, 0, full)
 
     label_h = label_of(both[..., :C])
     label_l = label_of(both[..., C:])

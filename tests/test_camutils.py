@@ -120,6 +120,31 @@ def test_refine_cams_with_bkg_v2_runs_and_labels_valid():
     assert (out[1][:2, :] == 255).all()
 
 
+def test_refine_cams_with_bkg_v2_max_present_matches_full():
+    """The compact present-class gather (max_present=P) is numerically identical
+    to the full-channel path whenever every image has <= P present classes —
+    absent channels carry exp(-inf)=0 through the softmax and never win."""
+    rng = np.random.default_rng(7)
+    B, H, W, Cf = 3, 16, 16, 8
+    imgs = rng.random((B, H, W, 3)).astype(np.float32) * 255
+    cams = rng.random((B, H, W, Cf)).astype(np.float32)
+    cls = np.zeros((B, Cf), np.float32)
+    cls[0, [1, 4]] = 1
+    cls[1, [0, 2, 7]] = 1
+    cls[2, [5]] = 1
+    box = np.array([[0, H, 0, W], [2, 14, 2, 14], [0, H, 4, W]])
+
+    refine = lambda im, m: varm_refine(im, m, dilations=(1, 2), num_iter=2)
+    full = np.asarray(CU.refine_cams_with_bkg_v2(
+        refine, jnp.asarray(imgs), jnp.asarray(cams), jnp.asarray(cls),
+        jnp.asarray(box)))
+    for P in (3, 4, 8):
+        compact = np.asarray(CU.refine_cams_with_bkg_v2(
+            refine, jnp.asarray(imgs), jnp.asarray(cams), jnp.asarray(cls),
+            jnp.asarray(box), max_present=P))
+        np.testing.assert_array_equal(compact, full)
+
+
 def test_get_mask_by_radius_matches_reference_loop():
     h = w = 5
     r = 2

@@ -187,6 +187,26 @@ def test_fused_mit_block_pre_sr_matches_block():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_act_dtype_bf16_residency_close_to_f32():
+    """act_dtype=bf16 (inter-block residual stream stored bf16, LN stats f32)
+    stays within bf16 rounding of the exact f32 path — wiring check for the
+    headline's bandwidth lever."""
+    from representationlearning_tpu.models.tscd import TSCD
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    m32 = TSCD(backbone="mit_b0", num_classes=21)
+    v = m32.init(jax.random.PRNGKey(0), x)
+    cls32, segs32, _, _ = m32.apply(v, x)
+    m16 = TSCD(backbone="mit_b0", num_classes=21, act_dtype=jnp.bfloat16)
+    cls16, segs16, _, _ = m16.apply(v, x)
+    # bf16 has ~3 decimal digits; the stream is re-rounded per block
+    np.testing.assert_allclose(np.asarray(cls16), np.asarray(cls32),
+                               rtol=0.15, atol=0.15)
+    corr = np.corrcoef(np.asarray(segs16).ravel(), np.asarray(segs32).ravel())[0, 1]
+    assert corr > 0.999, corr
+
+
 def test_fused_mit_block_attention_export_matches_block():
     """Export variant (sr == 1, the stage-4 affinity exporters): output AND the
     raw pre-scale attention logits match `Block(export_attn=True)` in both the

@@ -1,0 +1,99 @@
+"""On-chip A/B for the headline config (TSCD/MiT-B1 512^2 batch 8 predict):
+act_dtype f32 vs bf16 residual-stream residency, fused_blocks on/off.
+
+Usage: python tools/ab_headline.py [--variants f32,bf16,xla_f32,xla_bf16]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="f32,bf16")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--no-s2d", action="store_true")
+    ap.add_argument("--no-presr", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from bench import device_seconds_per_call
+    from representationlearning_tpu.models.tscd import TSCD
+    from representationlearning_tpu.ops.pallas import mit_block as MB
+    from representationlearning_tpu.models import mit as MIT
+
+    # isolation monkeypatches (A/B only): --no-s2d reverts the space-to-depth
+    # stem; --no-presr sends sr>1 blocks back to the XLA reference path (the
+    # round-3 fused coverage)
+    if args.no_s2d:
+        orig_embed = MIT.OverlapPatchEmbed.__call__
+        import flax.linen as fnn
+
+        def plain_embed(self, x):
+            p = self.patch_size // 2
+            x = MIT.TorchConv(self.embed_dim, (self.patch_size, self.patch_size),
+                              stride=(self.stride, self.stride), padding=(p, p),
+                              name="proj")(x)
+            B, H, W, C = x.shape
+            x = x.reshape(B, H * W, C)
+            x = fnn.LayerNorm(epsilon=1e-6, name="norm")(x)
+            return x, H, W
+        MIT.OverlapPatchEmbed.__call__ = fnn.compact(plain_embed)
+    if args.no_presr:
+        orig_fused = MB.fused_block
+
+        def no_presr(x, p, *, H, W, sr, nh, dtype=jnp.float32, export=False):
+            if sr > 1:
+                return MB.fused_block_reference(x, p, H=H, W=W, sr=sr, nh=nh,
+                                                dtype=dtype, export=export)
+            return orig_fused(x, p, H=H, W=W, sr=sr, nh=nh, dtype=dtype,
+                              export=export)
+        MB.fused_block = no_presr
+        MIT.fused_block = no_presr if hasattr(MIT, "fused_block") else None
+
+    batch = args.batch
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32)
+
+    spec = {
+        "f32": dict(fused_blocks=True, act_dtype=None),
+        "bf16": dict(fused_blocks=True, act_dtype=jnp.bfloat16),
+        "xla_f32": dict(fused_blocks=False, act_dtype=None),
+        "xla_bf16": dict(fused_blocks=False, act_dtype=jnp.bfloat16),
+    }
+    variables = None
+    ref_out = None
+    for name in args.variants.split(","):
+        kw = spec[name]
+        model = TSCD(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16, **kw)
+        if variables is None:
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+
+        def fwd(v, xx, model=model):
+            return model.apply(v, xx)[1].mean().astype(jnp.float32)
+
+        @jax.jit
+        def chained(v, xx, k, fwd=fwd):
+            return jax.lax.fori_loop(
+                0, k, lambda i, c: fwd(v, xx + c * 1e-12), jnp.float32(0.0))
+
+        def run(v, xx, k, chained=chained):
+            return float(chained(v, xx, k))
+
+        out = float(jax.jit(fwd)(variables, x))
+        if ref_out is None:
+            ref_out = out
+        sec = device_seconds_per_call(run, variables, x)
+        print(f"{name}: {batch / sec:.1f} tiles/s  ({sec * 1e3:.2f} ms/call)  "
+              f"out={out:.6f} (ref {ref_out:.6f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,12 +15,21 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import numpy as np
 
 
+def _voc_labels(rng, batch, num_fg):
+    out = np.zeros((batch, num_fg), np.float32)
+    for i in range(batch):
+        k = rng.choice([1, 2, 3], p=[0.7, 0.2, 0.1])
+        out[i, rng.choice(num_fg, size=k, replace=False)] = 1.0
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("batch", type=int, default=4, nargs="?")
     ap.add_argument("--trace", default=None)
     ap.add_argument("--fused", action="store_true", help="fused_blocks=True")
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--max-present", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -37,7 +46,7 @@ def main():
     from representationlearning_tpu.train.state import TrainState
 
     batch = args.batch
-    cfg = RMLConfig(crop_size=320, cam_iters=-1)
+    cfg = RMLConfig(crop_size=320, cam_iters=-1, max_present=args.max_present)
     aug_cfg = DeviceAugConfig(crop_size=320, scale_range=(0.5, 2.0), num_classes=21)
     model = RMLModel(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16)
     cam_apply_fn = None
@@ -56,7 +65,7 @@ def main():
     batch_data = {
         "raw": jnp.asarray(rng.integers(0, 256, (batch, 512, 512, 3)), jnp.uint8),
         "hw": jnp.tile(jnp.asarray([[375, 500]], jnp.int32), (batch, 1)),
-        "cls_label": jnp.asarray((rng.random((batch, 20)) > 0.7), jnp.float32),
+        "cls_label": jnp.asarray(_voc_labels(rng, batch, 20), jnp.float32),
     }
     inner = make_rml_train_step(model.apply, cfg, cam_apply_fn=cam_apply_fn)
 

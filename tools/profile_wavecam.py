@@ -33,9 +33,10 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
 
     def cam_fwd(v, x):
-        c = model.apply(v, x, method=model.cam)
-        cf = model.apply(v, x[:, :, ::-1], method=model.cam)
-        cam = jnp.maximum(c, 0) + jnp.maximum(cf, 0)[:, :, ::-1]
+        b = x.shape[0]
+        cc = model.apply(v, jnp.concatenate([x, x[:, :, ::-1]], axis=0),
+                         method=model.cam)
+        cam = jnp.maximum(cc[:b], 0) + jnp.maximum(cc[b:], 0)[:, :, ::-1]
         return cam.mean().astype(jnp.float32)
 
     @jax.jit
