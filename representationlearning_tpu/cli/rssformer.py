@@ -34,7 +34,9 @@ def default_config() -> Config:
         "model": {"hrnet_type": "hrnetv2_w32", "classes": 7, "loss": {"ce": {}},
                    "defer_bn_ema": True,
                    # inference-only whole-FFN pallas kernel (ops/pallas/mlp_dwbn.py)
-                   "fused_mlp": False},
+                   "fused_mlp": False,
+                   # MlpDWBN dilated branches as shifted MXU matmuls (train+predict)
+                   "conv_mm": False},
         "data": {"image_dir": None, "mask_dir": None, "crop_size": 512,
                   "batch_size": 8, "synthetic_n": 16,
                   # device_augment: crop/flip/rot90/ShiftScaleRotate/normalize
@@ -53,9 +55,11 @@ def _build(cfg):
         cfg.model.hrnet_type.startswith("hrnetv2")
     fused_mlp = bool(cfg.model.get("fused_mlp", False)) and \
         cfg.model.hrnet_type.startswith("hrnetv2")
+    conv_mm = bool(cfg.model.get("conv_mm", False)) and \
+        cfg.model.hrnet_type.startswith("hrnetv2")
     model = HRNetFusion(hrnet_type=cfg.model.hrnet_type, classes=cfg.model.classes,
                         loss_config=cfg.model.loss.to_dict(), defer_bn_ema=defer,
-                        fused_mlp=fused_mlp)
+                        fused_mlp=fused_mlp, conv_mm=conv_mm)
     tcfg = RSSFormerTrainConfig(
         base_lr=cfg.learning_rate.base_lr, power=cfg.learning_rate.power,
         max_iters=cfg.learning_rate.max_iters, momentum=cfg.optimizer.momentum,

@@ -140,6 +140,7 @@ class HighResolutionModule(nn.Module):
     dtype: Any = jnp.float32
     defer_bn_ema: bool = False
     fused_mlp: bool = False
+    conv_mm: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -187,6 +188,7 @@ class HighResolutionModule(nn.Module):
                                             dtype=self.dtype,
                                             defer_bn_ema=self.defer_bn_ema,
                                             fused_mlp=self.fused_mlp,
+                                            conv_mm=self.conv_mm,
                                             name="transformer")(low, y, train=train)
             else:
                 y = y + low
@@ -234,6 +236,7 @@ class HighResolutionNet(nn.Module):
     dtype: Any = jnp.float32
     defer_bn_ema: bool = False
     fused_mlp: bool = False
+    conv_mm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -269,7 +272,7 @@ class HighResolutionNet(nn.Module):
                     n_branches, cur, STAGE_BLOCKS,
                     with_transformer=self.with_transformer,
                     dtype=self.dtype, defer_bn_ema=self.defer_bn_ema,
-                    fused_mlp=self.fused_mlp,
+                    fused_mlp=self.fused_mlp, conv_mm=self.conv_mm,
                     name=f"stage{stage}_m{m}",
                 )(feats, train)
             prev = cur

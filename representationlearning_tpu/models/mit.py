@@ -295,13 +295,18 @@ class OverlapPatchEmbed(nn.Module):
     patch_size: int
     stride: int
     embed_dim: int
+    s2d: bool = False  # space-to-depth stem lowering; opt-in per geometry:
+    # the stem conv in isolation runs at 4 TF/s (Cin=3 starves the MXU) but the
+    # s2d reshape/layout measured a 16% END-TO-END headline LOSS at 512^2
+    # batch 8 (670.8 vs 799.9 tiles/s, tools/ab_headline.py round 4)
 
     @nn.compact
     def __call__(self, x: jax.Array):
         """x NHWC -> tokens (B, N, C), H', W'."""
         p = self.patch_size // 2
         C = x.shape[-1]
-        if jax.default_backend() == "tpu" and self.stride > 1 and C <= 8:
+        if (self.s2d and jax.default_backend() == "tpu" and self.stride > 1
+                and C <= 8):
             # RGB stem: space-to-depth form of the same conv — identical
             # taps/weights, but the MXU contracts s*s*C channels instead of 3
             # (the stride-4 7x7 stem measured 0.94 ms at 4 TF/s, PERF.md r4)
@@ -362,6 +367,7 @@ class MixVisionTransformer(nn.Module):
     # per-block kernel I/O while LN statistics stay f32 (`_ln` upcasts) and the
     # XLA/exporting blocks — whose MixFFN depthwise conv is the measured bf16
     # pathology — still run on an f32 stream. None = exact f32 residency.
+    s2d_stem: bool = False  # space-to-depth stage-1 stem (see OverlapPatchEmbed.s2d)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True):
@@ -373,7 +379,7 @@ class MixVisionTransformer(nn.Module):
         for s in range(4):
             x, H, W = OverlapPatchEmbed(
                 self.patch_sizes[s], self.strides[s], self.embed_dims[s],
-                name=f"patch_embed{s + 1}",
+                s2d=self.s2d_stem, name=f"patch_embed{s + 1}",
             )(x)
             for b in range(self.depths[s]):
                 want = (mode == "all") or (

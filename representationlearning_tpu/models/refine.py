@@ -94,6 +94,29 @@ def propagate(masks, ref, dilations, num_iter):
     return _propagate(masks, ref, dilations, num_iter)
 
 
+def _fused_refine(imgs, masks, dilations, num_iter, mode, w1, w2):
+    """TPU fast path: VMEM-resident affinity kernel (`ops/pallas/affinity.py`,
+    no (B,H,W,K,3) neighbor tensor in HBM) feeding the VMEM-resident
+    propagation kernel with channel-first weights. Returns None when either
+    kernel's geometry exceeds the VMEM budget (caller takes the XLA path).
+    Numerics: fp-rounding-level agreement with the XLA affinity (sequential
+    vs tree K-reductions), bit-exact propagation."""
+    if jax.default_backend() != "tpu":
+        return None
+    from ..ops.pallas.affinity import affinity_fits, affinity_pallas
+    from ..ops.pallas.varm import pick_channel_block, varm_propagate_pallas
+
+    B, H, W, C = masks.shape
+    K = 8 * len(dilations)
+    D = max(dilations)
+    if not affinity_fits(H, W, K, D, mode):
+        return None
+    if pick_channel_block(C, H, W, K, D) is None:
+        return None
+    ref_cf = affinity_pallas(imgs, tuple(dilations), mode, w1=w1, w2=w2)
+    return varm_propagate_pallas(masks, ref_cf, tuple(dilations), num_iter)
+
+
 @partial(jax.jit, static_argnames=("dilations", "num_iter"))
 def varm_refine(
     imgs: jax.Array,
@@ -104,6 +127,9 @@ def varm_refine(
 ) -> jax.Array:
     """VARM: refine `masks` (B,h,w,C) against `imgs` (B,H,W,3); returns (B,H,W,C)."""
     masks = resize_bilinear_auto(masks, imgs.shape[1:3], align_corners=True)
+    fused = _fused_refine(imgs, masks, dilations, num_iter, "varm", 0.0, w2)
+    if fused is not None:
+        return fused
     nb = dilated_neighbors(imgs, dilations)  # (B,H,W,K,3)
 
     # local-variation term: squared diff to the next row/col of the *neighbor* tensor,
@@ -131,6 +157,9 @@ def par_refine(
 ) -> jax.Array:
     """PAR: image affinity + w2 * position affinity (`RML/network/PAR.py:65-91`)."""
     masks = resize_bilinear_auto(masks, imgs.shape[1:3], align_corners=True)
+    fused = _fused_refine(imgs, masks, dilations, num_iter, "par", w1, w2)
+    if fused is not None:
+        return fused
     nb = dilated_neighbors(imgs, dilations)
     center = imgs[:, :, :, None, :]
     aff = -((jnp.abs(nb - center) / (_unbiased_std(nb, 3) + 1e-8)) / w1) ** 2
@@ -155,6 +184,9 @@ def pamr_refine(
 ) -> jax.Array:
     """PAMR: image affinity only (`RML/network/PAR.py:131-147`)."""
     masks = resize_bilinear_auto(masks, imgs.shape[1:3], align_corners=True)
+    fused = _fused_refine(imgs, masks, dilations, num_iter, "pamr", w1, 0.0)
+    if fused is not None:
+        return fused
     nb = dilated_neighbors(imgs, dilations)
     center = imgs[:, :, :, None, :]
     aff = -((jnp.abs(nb - center) / (_unbiased_std(nb, 3) + 1e-8)) / w1) ** 2

@@ -89,11 +89,15 @@ class ResNet50Backbone(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     return_stem: bool = False
     dtype: Any = jnp.float32
+    s2d_stem: bool = False  # space-to-depth stem lowering — opt-in per
+    # geometry (a measured end-to-end LOSS on the 512^2 headline; see
+    # models/mit.py::OverlapPatchEmbed.s2d)
 
     @nn.compact
     def __call__(self, x):
         s0 = self.strides[0]
-        if jax.default_backend() == "tpu" and s0 > 1 and x.shape[-1] <= 8:
+        if (self.s2d_stem and jax.default_backend() == "tpu" and s0 > 1
+                and x.shape[-1] <= 8):
             # RGB stem as a space-to-depth conv (identical taps; the Cin=3 conv
             # starves the MXU — see ops/image.py::space_to_depth_conv)
             from ..ops.image import space_to_depth_conv

@@ -58,13 +58,14 @@ class RMLModel(nn.Module):
     act_dtype: Any = None  # inter-block residual-stream storage dtype for the
     # encoder (bf16 halves the HBM-bound activation traffic; LN stats stay f32
     # — see MixVisionTransformer.act_dtype). None = exact f32.
+    s2d_stem: bool = False  # space-to-depth stage-1 stem (per-geometry lever)
 
     def setup(self):
         cfg = dict(MIT_CONFIGS[self.backbone])
         self.encoder = MixVisionTransformer(
             strides=self.strides, dtype=self.dtype,
             fused_blocks=self.fused_blocks, collect_attns=self.collect_attns,
-            act_dtype=self.act_dtype,
+            act_dtype=self.act_dtype, s2d_stem=self.s2d_stem,
             **cfg, name="encoder"
         )
         self.neck = SimpleFusionNeck(self.seg_classes, name="neck")

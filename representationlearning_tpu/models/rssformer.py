@@ -57,6 +57,10 @@ class HRNetFusion(nn.Module):
     # block FLOPs at predict) as one whole-FFN pallas kernel at inference
     # (ops/pallas/mlp_dwbn.py); identical param tree, train-mode unaffected.
     fused_mlp: bool = False
+    # conv_mm=True lowers MlpDWBN's dilated 3x3 branches as shifted MXU
+    # matmuls in BOTH train and predict (differentiable; same params) —
+    # attacks the conv-emitter layout churn around the transformer blocks
+    conv_mm: bool = False
 
     def setup(self):
         if self.hrnet_type in HRT_CONFIGS:
@@ -73,7 +77,7 @@ class HRNetFusion(nn.Module):
             self.backbone = HighResolutionNet(
                 self.hrnet_type, with_transformer=self.with_transformer,
                 dtype=self.dtype, defer_bn_ema=self.defer_bn_ema,
-                fused_mlp=self.fused_mlp, name="backbone",
+                fused_mlp=self.fused_mlp, conv_mm=self.conv_mm, name="backbone",
             )
         self.neck_channels = sum(widths)
         self.neck = SimpleFusion8(self.neck_channels, defer_bn_ema=self.defer_bn_ema,

@@ -231,6 +231,29 @@ class _BNAffineParams(nn.Module):
         return fold_bn_affine(scale, bias, mean.value, var.value)
 
 
+def _dilated3x3_matmul(h, kernel, bias, d, dtype=None):
+    """3x3 dilation-d conv (padding d, NHWC, HWIO kernel) as 9 shifted
+    (B*H*W, C) @ (C, O) einsums on a once-zero-padded plane. Identical
+    taps/weights to `lax.conv_general_dilated`; MXU-tiled matmul layouts end
+    to end (no conv-emitter layout churn around the token-form neighbors),
+    and autodiff gives shifted-matmul gradients instead of the conv kernel
+    grad emitter. Targets `ffn_block.py:207-270`'s dilated branches —
+    measured as the dominant GeneralTransformerBlock cost (PERF.md r3)."""
+    B, H, W, C = h.shape
+    hp = jnp.pad(h, ((0, 0), (d, d), (d, d), (0, 0)))
+    if dtype is not None:
+        hp = hp.astype(dtype)
+        kernel = kernel.astype(dtype)
+    acc = None
+    for ky in range(3):
+        for kx in range(3):
+            tap = hp[:, ky * d : ky * d + H, kx * d : kx * d + W, :]
+            t = jnp.einsum("bhwc,co->bhwo", tap, kernel[ky, kx],
+                           preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    return acc + bias.astype(jnp.float32)
+
+
 class MlpDWBN(nn.Module):
     hidden_features: int
     out_features: int
@@ -240,6 +263,10 @@ class MlpDWBN(nn.Module):
     # (ops/pallas/mlp_dwbn.py) with an identical parameter tree; train-mode
     # calls always take the XLA path below (BN batch stats need the batch dim).
     fused: bool = False
+    # conv_mm=True lowers the two dilated 3x3 branches as shifted MXU matmuls
+    # (`_dilated3x3_matmul`) — same params, works in train AND predict, and
+    # differentiable (unlike `fused`)
+    conv_mm: bool = False
 
     @nn.compact
     def __call__(self, x, H: int, W: int, train: bool = False):
@@ -274,11 +301,24 @@ class MlpDWBN(nn.Module):
         h = TorchConv(self.hidden_features, (1, 1), dtype=self.dtype, name="fc1")(h)
         h = bn(h, "norm1")
         h = nn.gelu(h, approximate=False)
-        b1 = TorchConv(self.hidden_features, (1, 1), dtype=self.dtype, name="dw")(h)
-        b6 = TorchConv(self.hidden_features, (3, 3), padding=(6, 6), dilation=(6, 6),
-                       dtype=self.dtype, name="dw6")(h)
-        b12 = TorchConv(self.hidden_features, (3, 3), padding=(12, 12), dilation=(12, 12),
-                        dtype=self.dtype, name="dw12")(h)
+        if self.conv_mm:
+            from .mit import _ConvParams
+
+            hid = self.hidden_features
+            k1, c1 = _ConvParams((1, 1, hid, hid), name="dw")()
+            b1 = jnp.einsum("bhwc,co->bhwo", h.astype(self.dtype),
+                            k1[0, 0].astype(self.dtype),
+                            preferred_element_type=jnp.float32) + c1
+            k6, c6 = _ConvParams((3, 3, hid, hid), name="dw6")()
+            b6 = _dilated3x3_matmul(h, k6, c6, 6, dtype=self.dtype)
+            k12, c12 = _ConvParams((3, 3, hid, hid), name="dw12")()
+            b12 = _dilated3x3_matmul(h, k12, c12, 12, dtype=self.dtype)
+        else:
+            b1 = TorchConv(self.hidden_features, (1, 1), dtype=self.dtype, name="dw")(h)
+            b6 = TorchConv(self.hidden_features, (3, 3), padding=(6, 6), dilation=(6, 6),
+                           dtype=self.dtype, name="dw6")(h)
+            b12 = TorchConv(self.hidden_features, (3, 3), padding=(12, 12), dilation=(12, 12),
+                            dtype=self.dtype, name="dw12")(h)
         h = b1 + b6 + b12
         h = bn(h, "norm2")
         h = nn.gelu(h, approximate=False)
@@ -301,6 +341,7 @@ class GeneralTransformerBlock(nn.Module):
     dtype: Any = jnp.float32
     defer_bn_ema: bool = False
     fused_mlp: bool = False
+    conv_mm: bool = False  # MlpDWBN dilated branches as shifted MXU matmuls
 
     @nn.compact
     def __call__(self, x, y, train: bool = False):
@@ -315,6 +356,7 @@ class GeneralTransformerBlock(nn.Module):
         xt = xt + DropPath(self.drop_path)(a, deterministic=not train)
         m = MlpDWBN(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
                     defer_bn_ema=self.defer_bn_ema, fused=self.fused_mlp,
+                    conv_mm=self.conv_mm,
                     name="mlp")(nn.LayerNorm(epsilon=1e-6, name="norm2")(xt), H, W, train=train)
         xt = xt + DropPath(self.drop_path)(m, deterministic=not train)
         return xt.reshape(B, H, W, C)

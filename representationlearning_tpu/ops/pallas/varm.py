@@ -96,12 +96,14 @@ def varm_propagate_pallas(
     channel_block: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """masks (B, H, W, C); ref (B, H, W, K, 1) affinity weights (sum over K per pixel).
-    Returns the propagated masks, identical to `models.refine._propagate`."""
+    """masks (B, H, W, C); ref (B, H, W, K, 1) affinity weights (sum over K per
+    pixel), or channel-first (B, K, H, W) as produced by the fused affinity
+    kernel (`affinity.py`). Returns the propagated masks, identical to
+    `models.refine._propagate`."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, H, W, C = masks.shape
-    K = ref.shape[3]
+    K = ref.shape[1] if ref.ndim == 4 else ref.shape[3]
     D = max(dilations)
     if channel_block is None:
         channel_block = pick_channel_block(C, H, W, K, D)
@@ -117,7 +119,7 @@ def varm_propagate_pallas(
     Cp = masks.shape[-1]
 
     m_cf = masks.transpose(0, 3, 1, 2)  # (B, C, H, W)
-    ref_cf = ref[..., 0].transpose(0, 3, 1, 2)  # (B, K, H, W)
+    ref_cf = ref if ref.ndim == 4 else ref[..., 0].transpose(0, 3, 1, 2)
 
     out = pl.pallas_call(
         functools.partial(

@@ -250,3 +250,64 @@ def test_tscd_fused_blocks_same_params_same_outputs():
         if a is None or isinstance(a, (list, tuple)):
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_pallas_affinity_matches_xla_all_modes():
+    """Interpret-mode parity of the fused affinity kernel vs the XLA neighbor-
+    tensor path, all three modes; fp-rounding tolerance (sequential vs tree
+    K-reductions)."""
+    from representationlearning_tpu.models import refine as R
+    from representationlearning_tpu.ops.pallas.affinity import affinity_pallas
+
+    rng = np.random.default_rng(1)
+    B, H, W, dil = 2, 16, 16, (1, 2, 4)
+    imgs = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32)) * 255.0
+    nb = R.dilated_neighbors(imgs, dil)
+    center = imgs[:, :, :, None, :]
+    std = R._unbiased_std(nb, 3)
+
+    # par
+    aff = (-(((jnp.abs(nb - center) / (std + 1e-8)) / 0.3) ** 2)).mean(-1, keepdims=True)
+    pos = R._pos_tensor(dil)
+    pos_sm = jax.nn.softmax(-((pos / (jnp.std(pos, ddof=1) + 1e-8)) / 0.3) ** 2)
+    want = jax.nn.softmax(aff, axis=3) + 0.01 * pos_sm[None, None, None, :, None]
+    got = affinity_pallas(imgs, dil, "par", w1=0.3, w2=0.01)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want[..., 0].transpose(0, 3, 1, 2)),
+        atol=2e-5, rtol=1e-4)
+
+    # pamr
+    want = jax.nn.softmax(aff, axis=3)
+    got = affinity_pallas(imgs, dil, "pamr", w1=0.3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want[..., 0].transpose(0, 3, 1, 2)),
+        atol=2e-5, rtol=1e-4)
+
+    # varm: *4 sharpness minus w2 * softmax(local variation)
+    t1 = jnp.concatenate([nb[:, 1:], nb[:, -1:]], axis=1)
+    t2 = jnp.concatenate([nb[:, :, 1:], nb[:, :, -1:]], axis=2)
+    temp = ((nb - t1) ** 2 + (nb - t2) ** 2).mean(-1, keepdims=True)
+    affv = (-(((jnp.abs(nb - center) / (std + 1e-8)) * 4) ** 2)).mean(-1, keepdims=True)
+    want = jax.nn.softmax(affv, axis=3) - 0.01 * jax.nn.softmax(temp, axis=3)
+    got = affinity_pallas(imgs, dil, "varm", w2=0.01)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want[..., 0].transpose(0, 3, 1, 2)),
+        atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_affinity_feeds_propagation_channel_first():
+    """The (B,K,H,W) kernel output drives varm_propagate_pallas directly and
+    matches the full XLA par_refine composition."""
+    from representationlearning_tpu.models import refine as R
+    from representationlearning_tpu.ops.pallas.affinity import affinity_pallas
+    from representationlearning_tpu.ops.pallas.varm import varm_propagate_pallas
+
+    rng = np.random.default_rng(2)
+    B, H, W, C, dil = 2, 16, 16, 5, (1, 2)
+    imgs = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32)) * 255.0
+    masks = jnp.asarray(rng.random((B, H, W, C)).astype(np.float32))
+    want = R.par_refine(imgs, masks, dil, 4)
+    ref_cf = affinity_pallas(imgs, dil, "par")
+    got = varm_propagate_pallas(masks, ref_cf, dil, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)

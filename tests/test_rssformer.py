@@ -169,3 +169,39 @@ def test_hrnetfusion_hrt_backbone_smoke(rng):
     prob = model.apply(variables, x)
     assert prob.shape == (1, 64, 64, 7)
     np.testing.assert_allclose(np.asarray(prob.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_mlp_dwbn_conv_mm_matches_conv_path():
+    """conv_mm (dilated 3x3 branches as shifted MXU matmuls) is float-close to
+    the conv-emitter path with the SAME params, train and eval."""
+    from representationlearning_tpu.models.rssformer_modules import MlpDWBN
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 2, 13, 17, 8
+    x = jnp.asarray(rng.standard_normal((B, H * W, C)).astype(np.float32))
+    m0 = MlpDWBN(hidden_features=16, out_features=C)
+    v = m0.init(jax.random.PRNGKey(0), x, H, W)
+    m1 = MlpDWBN(hidden_features=16, out_features=C, conv_mm=True)
+    for train in (False, True):
+        kw = dict(mutable=["batch_stats"]) if train else {}
+        a = m0.apply(v, x, H, W, train=train, **kw)
+        b = m1.apply(v, x, H, W, train=train, **kw)
+        if train:
+            (a, sa), (b, sb) = a, b
+            jax.tree_util.tree_map(
+                lambda p, q: np.testing.assert_allclose(p, q, atol=1e-4),
+                sa, sb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+    # gradients agree too (the conv_mm path exists to fix the BACKWARD cost)
+    def loss_fn(params, mod):
+        out = mod.apply({"params": params, "batch_stats": v["batch_stats"]},
+                        x, H, W, train=True, mutable=["batch_stats"])[0]
+        return (out ** 2).mean()
+
+    g0 = jax.grad(loss_fn)(v["params"], m0)
+    g1 = jax.grad(loss_fn)(v["params"], m1)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(p, q, atol=1e-4, rtol=1e-3),
+        g0, g1)

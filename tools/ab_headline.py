@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--no-s2d", action="store_true")
     ap.add_argument("--no-presr", action="store_true")
+    ap.add_argument("--taps", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -33,19 +34,34 @@ def main():
     # stem; --no-presr sends sr>1 blocks back to the XLA reference path (the
     # round-3 fused coverage)
     if args.no_s2d:
-        orig_embed = MIT.OverlapPatchEmbed.__call__
-        import flax.linen as fnn
+        # same params, plain strided-conv lowering (what the stem did pre-s2d)
+        from representationlearning_tpu.ops import image as IMG
 
-        def plain_embed(self, x):
-            p = self.patch_size // 2
-            x = MIT.TorchConv(self.embed_dim, (self.patch_size, self.patch_size),
-                              stride=(self.stride, self.stride), padding=(p, p),
-                              name="proj")(x)
-            B, H, W, C = x.shape
-            x = x.reshape(B, H * W, C)
-            x = fnn.LayerNorm(epsilon=1e-6, name="norm")(x)
-            return x, H, W
-        MIT.OverlapPatchEmbed.__call__ = fnn.compact(plain_embed)
+        def plain_conv(x, kernel, bias=None, stride=4, padding=3, dtype=None):
+            out = jax.lax.conv_general_dilated(
+                x, kernel, (stride, stride),
+                [(padding, padding), (padding, padding)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            return out + bias if bias is not None else out
+        IMG.space_to_depth_conv = plain_conv
+        MIT.space_to_depth_conv = plain_conv  # in case of from-import
+    if args.taps:
+        # round-3 behavior: sr>1 blocks run the in-kernel sr-taps pallas path
+        orig_fused_t = MB.fused_block
+
+        def taps_fused(x, p, *, H, W, sr, nh, dtype=jnp.float32, export=False):
+            B, N, C = x.shape
+            hid = p["fc1_kernel"].shape[1]
+            Nk = (H // sr) * (W // sr) if sr > 1 else N
+            if (jax.default_backend() == "tpu"
+                    and MB._vmem_fits(N, C, hid, Nk, nh, export)
+                    and (not export or sr == 1)):
+                return MB.fused_block_pallas(x, p, H=H, W=W, sr=sr, nh=nh,
+                                             dtype=dtype, export=export)
+            return MB.fused_block_reference(x, p, H=H, W=W, sr=sr, nh=nh,
+                                            dtype=dtype, export=export)
+        MB.fused_block = taps_fused
     if args.no_presr:
         orig_fused = MB.fused_block
 

@@ -21,6 +21,7 @@ def main():
     ap.add_argument("mode", choices=["predict", "train"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--fused-mlp", action="store_true")
+    ap.add_argument("--conv-mm", action="store_true")
     ap.add_argument("--no-defer-bn-ema", action="store_true")
     ap.add_argument("--trace", default=None)
     args = ap.parse_args()
@@ -36,7 +37,8 @@ def main():
     if args.mode == "predict":
         batch = args.batch or 4
         model = HRNetFusion(hrnet_type="hrnetv2_w32", classes=7,
-                            dtype=jnp.bfloat16, fused_mlp=args.fused_mlp)
+                            dtype=jnp.bfloat16, fused_mlp=args.fused_mlp,
+                            conv_mm=args.conv_mm)
         x = jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
 
@@ -57,7 +59,7 @@ def main():
             t0 = time.perf_counter(); float(chained(variables, x, 11)); tl = time.perf_counter() - t0
             diffs.append((tl - ts) / 10)
         sec = statistics.median(diffs)
-        print(f"predict batch={batch} fused_mlp={args.fused_mlp}: "
+        print(f"predict batch={batch} fused_mlp={args.fused_mlp} conv_mm={args.conv_mm}: "
               f"{sec*1000:.2f} ms/call, {batch/sec:.1f} tiles/s")
         if args.trace:
             with jax.profiler.trace(args.trace):
@@ -70,7 +72,8 @@ def main():
         batch = args.batch or 8
         cfg = RSSFormerTrainConfig()
         model = HRNetFusion(hrnet_type="hrnetv2_w32", classes=7, dtype=jnp.bfloat16,
-                            defer_bn_ema=not args.no_defer_bn_ema)
+                            defer_bn_ema=not args.no_defer_bn_ema,
+                            conv_mm=args.conv_mm)
         state = create_rssformer_state(model, (512, 512, 3), cfg)
         batch_data = {
             "image": jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32),
