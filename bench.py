@@ -135,9 +135,12 @@ def bench_segformer_b1_predict(peak, use_flash=False):
 
     batch = 8
     # fused_blocks: whole-block pallas kernels on the non-exporting encoder
-    # blocks (ops/pallas/mit_block.py) — +12% measured over the XLA path
+    # blocks (ops/pallas/mit_block.py) — +12% measured over the XLA path.
+    # act_dtype=bf16: inter-block residual-stream residency (LN stats stay
+    # f32) — A/B'd on-chip round 4: 854.4 vs 838.5 tiles/s (PERF.md)
     model = TSCD(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16,
-                 use_flash=use_flash, fused_blocks=True)
+                 use_flash=use_flash, fused_blocks=True,
+                 act_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
@@ -221,7 +224,11 @@ def bench_rssformer_predict(peak):
     from representationlearning_tpu.models.rssformer import HRNetFusion
 
     batch = 4
-    model = HRNetFusion(hrnet_type="hrnetv2_w32", classes=7, dtype=jnp.bfloat16)
+    # fused_mlp: whole-FFN MlpDWBN pallas kernel (ops/pallas/mlp_dwbn.py) —
+    # A/B'd on-chip round 4 at this geometry: 126.5 vs 115.4 tiles/s base,
+    # vs 123.4 for the conv_mm XLA relowering (PERF.md)
+    model = HRNetFusion(hrnet_type="hrnetv2_w32", classes=7, dtype=jnp.bfloat16,
+                        fused_mlp=True)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
@@ -238,7 +245,15 @@ def bench_rssformer_predict(peak):
         return float(chained(v, x, k))
 
     sec = device_seconds_per_call(run, variables, x)
-    flops = flops_per_call(fwd, variables, x)
+    # count FLOPs on the mathematically-identical unfused model: XLA cost
+    # analysis reports 0 for pallas custom-calls (same fix as the headline)
+    model_xla = HRNetFusion(hrnet_type="hrnetv2_w32", classes=7,
+                            dtype=jnp.bfloat16)
+
+    def fwd_xla(v, x):
+        return model_xla.apply(v, x).mean().astype(jnp.float32)
+
+    flops = flops_per_call(fwd_xla, variables, x)
     return _emit(
         "rssformer_w32_512_predict_tiles_per_sec_per_chip", batch / sec, "tiles/s",
         flops / batch if flops else None, ASSUMED_A100_INFER_MFU, peak,

@@ -145,9 +145,11 @@ class Net(nn.Module):
     stride: int = 16
     n_classes: int = 20
     dtype: Any = jnp.float32
+    s2d_stem: bool = False  # space-to-depth stem (per-geometry lever)
 
     def setup(self):
-        self.backbone = ResNet50Backbone(dtype=self.dtype, **resnet50_config(self.stride),
+        self.backbone = ResNet50Backbone(dtype=self.dtype, s2d_stem=self.s2d_stem,
+                                         **resnet50_config(self.stride),
                                          name="resnet50")
         self.classifier = nn.Conv(self.n_classes, (1, 1), use_bias=False, name="classifier")
 

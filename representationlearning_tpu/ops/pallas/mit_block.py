@@ -307,21 +307,28 @@ def _vmem_fits(N: int, C: int, hid: int, Nk: int, nh: int = 0,
     return est <= _VMEM_BUDGET
 
 
+# sr > 1 front-end choice, A/B'd on v5e both ways (PERF.md round 4): the
+# in-kernel sr^2-tap reduction wins END-TO-END at both measured geometries
+# (headline 512^2 b8: 833.8 vs 802.5 tiles/s; RML 320^2 b16 fused train step:
+# 116.8 vs 109.6 img/s) even though the tap loop itself runs at ~2 TF/s — the
+# pre-sr XLA front (`sr_reduce_xla`) pays an extra HBM write+read of the h/xs
+# streams per block that costs more than the MXU-tiled conv saves.
+PRE_SR = False
+
+
 def fused_block(x: jax.Array, p: Mapping[str, jax.Array], *, H: int, W: int,
                 sr: int, nh: int, dtype: Any = jnp.float32,
                 export: bool = False):
     """Dispatcher: pallas kernel on TPU when the geometry fits VMEM, XLA
-    reference elsewhere (CPU backends, oversized inputs). For sr > 1 blocks the
-    LN1 + sr-conv front runs as XLA ops feeding the kernel (`sr_reduce_xla`):
-    measured on v5e, the in-kernel sr^2-tap form ran stage-1 blocks at ~2 TF/s
-    while XLA's strided conv is MXU-tiled (PERF.md round 4)."""
+    reference elsewhere (CPU backends, oversized inputs). sr > 1 blocks run
+    the in-kernel sr-tap reduction by default (see PRE_SR above)."""
     B, N, C = x.shape
     hid = p["fc1_kernel"].shape[1]
     Nk = (H // sr) * (W // sr) if sr > 1 else N
     if (jax.default_backend() == "tpu"
             and _vmem_fits(N, C, hid, Nk, nh, export)
             and (not export or sr == 1)):
-        if sr > 1 and Nk > 0:
+        if sr > 1 and PRE_SR and Nk > 0:
             h, xs = sr_reduce_xla(x, p, H=H, W=W, sr=sr, dtype=dtype)
             return fused_block_pallas(x, p, H=H, W=W, sr=sr, nh=nh,
                                       dtype=dtype, h=h, xs=xs)

@@ -30,10 +30,32 @@ def main():
     ap.add_argument("--fused", action="store_true", help="fused_blocks=True")
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--max-present", type=int, default=None)
+    ap.add_argument("--taps", action="store_true",
+                    help="sr>1 fused blocks: in-kernel sr-taps (round-3 path) "
+                         "instead of pre-sr XLA reduce")
+    ap.add_argument("--cam-act-bf16", action="store_true",
+                    help="bf16 residual-stream residency on the no-grad cam "
+                         "twin (grad model unchanged)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.taps:
+        from representationlearning_tpu.ops.pallas import mit_block as MB
+
+        def taps_fused(x, p, *, H, W, sr, nh, dtype=jnp.float32, export=False):
+            B, N, C = x.shape
+            hid = p["fc1_kernel"].shape[1]
+            Nk = (H // sr) * (W // sr) if sr > 1 else N
+            if (jax.default_backend() == "tpu"
+                    and MB._vmem_fits(N, C, hid, Nk, nh, export)
+                    and (not export or sr == 1)):
+                return MB.fused_block_pallas(x, p, H=H, W=W, sr=sr, nh=nh,
+                                             dtype=dtype, export=export)
+            return MB.fused_block_reference(x, p, H=H, W=W, sr=sr, nh=nh,
+                                            dtype=dtype, export=export)
+        MB.fused_block = taps_fused
 
     from representationlearning_tpu.data.device_transforms import (
         DeviceAugConfig, augment_cls_batch, sample_cls_decisions,
@@ -52,7 +74,8 @@ def main():
     cam_apply_fn = None
     if args.fused:
         cam_twin = RMLModel(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16,
-                            fused_blocks=True, collect_attns="none")
+                            fused_blocks=True, collect_attns="none",
+                            act_dtype=jnp.bfloat16 if args.cam_act_bf16 else None)
         cam_apply_fn = cam_twin.apply
     rng = np.random.default_rng(0)
     x = jnp.zeros((1, 320, 320, 3), jnp.float32)
@@ -87,7 +110,9 @@ def main():
         s = state
         for _ in range(k):
             s, m = step_fn(s, batch_data, key)
-        jax.block_until_ready(m["total"])
+        # host fetch (not just block_until_ready): the axon tunnel can ack
+        # readiness before execution completes (see bench.py methodology)
+        return float(m["total"])
 
     import statistics
     diffs = []

@@ -19,6 +19,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("batch", type=int, default=8, nargs="?")
     ap.add_argument("--trace", default=None)
+    ap.add_argument("--s2d", action="store_true", help="space-to-depth ResNet stem")
     args = ap.parse_args()
 
     import jax
@@ -27,7 +28,7 @@ def main():
     from representationlearning_tpu.models.resnet import Net
 
     batch = args.batch
-    model = Net(n_classes=20, dtype=jnp.bfloat16)
+    model = Net(n_classes=20, dtype=jnp.bfloat16, s2d_stem=args.s2d)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
@@ -55,7 +56,8 @@ def main():
         t0 = time.perf_counter(); float(chained(variables, x, 11)); tl = time.perf_counter() - t0
         diffs.append((tl - ts) / 10)
     sec = statistics.median(diffs)
-    print(f"batch={batch}: {sec*1000:.2f} ms/call, {batch/sec:.1f} CAMs/s")
+    print(f"batch={batch} s2d={args.s2d}: {sec*1000:.2f} ms/call, "
+          f"{batch/sec:.1f} CAMs/s")
 
     if args.trace:
         with jax.profiler.trace(args.trace):
