@@ -466,6 +466,12 @@ def bench_rml_train(peak):
     # so costing the optimized program would inflate the phantom A100's rate
     # as we optimize — the same convention the headline uses (unfused-model
     # FLOPs). Measured FLOPs of the optimized program are reported alongside.
+    # The constant is only valid at the geometry it was recorded at — guard it
+    # so a future crop/backbone change cannot silently skew the A100 baseline
+    # (ADVICE r4). Re-derive by cost-analyzing make_rml_train_step(model.apply,
+    # cfg) with cam_apply_fn=None at the new geometry if this fires.
+    assert (cfg.crop_size, cfg.max_present) == (320, 8) and \
+        model.backbone == "mit_b1", "ref_flops_per_ex recorded at mit_b1/320/mp8"
     ref_flops_per_ex = 157.57e9
     flops = flops_per_call(step_fn, state, batch_data, jax.random.PRNGKey(0))
     return _emit(

@@ -25,6 +25,7 @@ from ..train import checkpoints as CK
 from ..train.optim import make_poly_warmup_adamw, tscd_param_labels
 from ..train.rml import RMLConfig, make_rml_train_step
 from ..train.state import TrainState
+from .train_scd import check_max_present
 
 
 def default_config() -> Config:
@@ -69,7 +70,7 @@ def main(argv=None):
         cam_scales=tuple(cfg.cam.scales), bkg_score=cfg.cam.bkg_score,
         high_thre=cfg.cam.high_thre, low_thre=cfg.cam.low_thre,
         ignore_index=cfg.dataset.ignore_index, cam_iters=cfg.train.cam_iters,
-        max_present=cfg.dataset.get("max_present", None),
+        max_present=check_max_present(cfg),
     )
     model = RMLModel(backbone=cfg.backbone.config,
                      num_classes=cfg.dataset.num_classes,

@@ -90,6 +90,22 @@ def make_wsss_datasets(cfg, device_aug: bool):
     return train_ds, val_ds
 
 
+def check_max_present(cfg):
+    """`dataset.max_present` caps how many present classes the refine chain
+    carries per image (`wsss/camutils.py::refine_cams_with_bkg_v2`); classes
+    beyond the cap are SILENTLY dropped from refinement. VOC images carry at
+    most ~6 classes, but COCO images can carry 10+, so a copied VOC cap
+    corrupts pseudo-labels with no signal — refuse it (ADVICE r4)."""
+    mp = cfg.dataset.get("max_present", None)
+    if mp is not None and str(cfg.dataset.get("name", "voc")).lower() == "coco":
+        raise ValueError(
+            f"dataset.max_present={mp} with dataset.name=coco: COCO images can "
+            "carry more present classes than a VOC-sized cap, and classes over "
+            "the cap are silently dropped from refinement. Unset max_present "
+            "for COCO (or set it >= the dataset's max classes/image).")
+    return mp
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None)
@@ -115,7 +131,7 @@ def main(argv=None):
         cam_scales=tuple(cfg.cam.scales), bkg_score=cfg.cam.bkg_score,
         high_thre=cfg.cam.high_thre, low_thre=cfg.cam.low_thre,
         ignore_index=cfg.dataset.ignore_index, cam_iters=cfg.train.cam_iters,
-        max_present=cfg.dataset.get("max_present", None),
+        max_present=check_max_present(cfg),
     )
     model = TSCD(backbone=cfg.backbone.config, num_classes=cfg.dataset.num_classes,
                  strides=tuple(cfg.backbone.stride))

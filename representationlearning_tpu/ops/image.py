@@ -250,7 +250,15 @@ def space_to_depth_conv(x, kernel, bias=None, stride: int = 4,
     kwp = -(-kw // s) * s
     pb_h = s * (Hout - 1) + khp - H - p
     pb_w = s * (Wout - 1) + kwp - W - p
-    xp = jnp.pad(x, ((0, 0), (p, pb_h), (p, pb_w), (0, 0)))
+    # pb can be NEGATIVE for kernel <= stride with small padding (e.g. kh == s,
+    # p = 0, H % s == 1): the trailing rows are never read by any output
+    # position, so cropping them is exact (ADVICE r4: jnp.pad raises on
+    # negative pads with an opaque message)
+    xp = jnp.pad(x, ((0, 0), (p, max(pb_h, 0)), (p, max(pb_w, 0)), (0, 0)))
+    if pb_h < 0:
+        xp = xp[:, : p + H + pb_h]
+    if pb_w < 0:
+        xp = xp[:, :, : p + W + pb_w]
     Hp, Wp = xp.shape[1:3]
     x2 = xp.reshape(B, Hp // s, s, Wp // s, s, C).transpose(0, 1, 3, 2, 4, 5)
     x2 = x2.reshape(B, Hp // s, Wp // s, s * s * C)

@@ -117,9 +117,14 @@ def _pos_softmax(dilations, w1) -> tuple:
 def _vmem_estimate(H, W, K, D, mode) -> int:
     Hp, Wp = H + 2 * (D + 1), W + 2 * (D + 1)
     img = 3 * Hp * Wp * 4
+    out = K * H * W * 4
+    # pallas double-buffers the in/out blocks across grid steps (ADVICE r4:
+    # the estimate must include that or a new geometry can commit to the fused
+    # path and then fail at Mosaic compile time with no XLA fallback)
+    io = 2 * (img + out)
     bufs = (3 if mode != "varm" else 6) * K * H * W * 4  # aff(+tmp) + softmax temps
     stack = (K + 6) * 3 * H * W * 4  # live unrolled neighbor views
-    return img + bufs + stack
+    return io + bufs + stack
 
 
 def affinity_fits(H, W, K, D, mode, budget: int = _VMEM_BUDGET) -> bool:

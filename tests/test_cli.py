@@ -159,6 +159,23 @@ def test_train_rml_cli_coco(tmp_path):
     assert int(state.step) == 1
 
 
+def test_train_cli_coco_refuses_max_present(tmp_path):
+    """A VOC-sized max_present cap silently drops classes from refinement on
+    COCO (images can carry 10+ classes) — the CLI refuses it (ADVICE r4)."""
+    import pytest
+
+    from representationlearning_tpu.cli.train_scd import main
+
+    with pytest.raises(ValueError, match="max_present"):
+        main([
+            "--config", "configs/scd_coco.yaml",
+            "backbone.config=mit_b0", "dataset.crop_size=64",
+            "dataset.num_classes=9", "dataset.synthetic_n=8",
+            "dataset.max_present=8", "train.max_iters=1",
+            f"work_dir.dir={tmp_path}",
+        ])
+
+
 def test_convert_checkpoint_cli(tmp_path):
     import torch
     import jax

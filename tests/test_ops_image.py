@@ -113,7 +113,11 @@ def test_space_to_depth_conv_matches_strided_conv():
     for (H, W, k, s, p, C, O) in [(64, 64, 7, 4, 3, 3, 16),
                                   (64, 64, 7, 2, 3, 3, 16),
                                   (33, 47, 7, 4, 3, 3, 8),
-                                  (32, 32, 3, 2, 1, 4, 8)]:
+                                  (32, 32, 3, 2, 1, 4, 8),
+                                  # kernel <= stride with negative bottom pad
+                                  # (trailing rows/cols cropped, not padded)
+                                  (33, 33, 2, 2, 0, 3, 8),
+                                  (35, 33, 3, 4, 0, 3, 8)]:
         x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
         kern = jnp.asarray(rng.standard_normal((k, k, C, O)), jnp.float32) * 0.1
         b = jnp.asarray(rng.standard_normal((O,)), jnp.float32)

@@ -167,8 +167,9 @@ def test_fused_mit_block_matches_block_all_stages():
 
 
 def test_fused_mit_block_pre_sr_matches_block():
-    """The pre-sr kernel variant (LN1 + sr conv computed by XLA outside,
-    `sr_reduce_xla`, the TPU default for sr > 1 blocks) matches `Block` too."""
+    """The OPTIONAL pre-sr kernel variant (LN1 + sr conv computed by XLA
+    outside, `sr_reduce_xla`; PRE_SR flag, currently off — the round-4 A/B
+    kept the in-kernel tap reduction) matches `Block` too."""
     from representationlearning_tpu.models.mit import Block
     from representationlearning_tpu.ops.pallas.mit_block import (
         block_variables_to_fused, fused_block_pallas, sr_reduce_xla)
