@@ -24,6 +24,7 @@ impossible (would need ~4.7x the A100's MFU); the honest target is max MFU, trac
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -497,17 +498,32 @@ BENCHES = {
         bench_segformer_b1_predict, "segformer_b1_512_tiles_per_sec_per_chip"),
 }
 # RUN the headline first (VERDICT r2 item 1: first-in-record — it must never be
-# starved by earlier hangs/timeouts) but PRINT it last (last-line parser). Each
-# name runs in its OWN subprocess (round-2 lesson: all six in one process let an
-# early RESOURCE_EXHAUSTED poison the later configs, zeroing the headline).
+# starved by earlier hangs/timeouts), then the configs that changed most this
+# round (VERDICT r4 item 1: the two metrics lost to the r4 driver timeout ran
+# last), then the stable quick ones. PRINT the headline last (last-line parser).
+# Each name runs in its OWN subprocess (round-2 lesson: all six in one process
+# let an early RESOURCE_EXHAUSTED poison the later configs).
 BENCH_RUN_ORDER = [
-    "segformer_b1", "wavecam_cams", "rssformer_predict", "scd_pseudo_labels",
-    "rssformer_train", "rml_train", "rssformer_tta_eval",
+    "segformer_b1", "rml_train", "rssformer_train", "rssformer_tta_eval",
+    "wavecam_cams", "rssformer_predict", "scd_pseudo_labels",
 ]
 BENCH_PRINT_ORDER = [
     "wavecam_cams", "rssformer_predict", "scd_pseudo_labels",
     "rssformer_train", "rml_train", "rssformer_tta_eval", "segformer_b1",
 ]
+# Total wall budget and per-config caps (seconds). Round 4's record died at
+# rc=124: 7 configs x 1800 s caps cannot fit the driver budget that killed that
+# run after ~5 configs. The scheduler keeps a floor for every still-pending
+# config so a slow early config cannot starve the later ones — every metric
+# ALWAYS prints a line (value 0 + "skipped: budget" in the worst case), and a
+# warm persistent compile cache makes the whole run ~7 x 60 s.
+BENCH_TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 2400))
+BENCH_FLOOR_S = 90.0
+PER_CONFIG_MAX_S = {
+    "segformer_b1": 420, "rml_train": 900, "rssformer_train": 600,
+    "rssformer_tta_eval": 600, "wavecam_cams": 300, "rssformer_predict": 300,
+    "scd_pseudo_labels": 300,
+}
 
 
 def run_one(name):
@@ -522,7 +538,7 @@ def run_one(name):
         }), flush=True)
 
 
-def wait_for_backend(child_env, max_wait_s=2400):
+def wait_for_backend(child_env, max_wait_s=480):
     """The axon-tunneled TPU backend HANGS (not errors) in jax.devices() when the
     tunnel is down, sometimes transiently. Probe it in short-timeout child
     processes and wait up to max_wait_s before starting the benches, so a
@@ -560,48 +576,64 @@ def wait_for_backend(child_env, max_wait_s=2400):
 def main():
     """Parent: fork one subprocess per config BEFORE any TPU allocation (this
     process never imports jax), so an OOM in one config cannot fragment or
-    exhaust HBM for the rest. Relays each child's JSON line; headline last."""
+    exhaust HBM for the rest. A total wall budget with per-pending floors
+    guarantees EVERY config prints a metric line within the driver's budget
+    (round-4 lesson: rc=124 lost 2 of 7 metrics including the round's one big
+    win). Relays each child's JSON line; headline printed last."""
     import subprocess
     import sys
 
-    import os
-
+    deadline = time.time() + BENCH_TOTAL_BUDGET_S
     child_env = dict(os.environ)
     # persistent compile cache (keyed by HLO): repeated bench runs skip the
     # 20-40 s per-config TPU compiles; code changes invalidate naturally
     child_env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rl_tpu_bench_cache")
     child_env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-    wait_for_backend(child_env)
+    wait_for_backend(child_env,
+                     max_wait_s=min(480.0, max(60.0, deadline - time.time() - 600)))
     lines = {}
-    for name in BENCH_RUN_ORDER:
+    for i, name in enumerate(BENCH_RUN_ORDER):
         fn, metric = BENCHES[name]
+        n_after = len(BENCH_RUN_ORDER) - i - 1
+        timeout_s = min(PER_CONFIG_MAX_S[name],
+                        deadline - time.time() - BENCH_FLOOR_S * n_after)
         line = None
-        try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--one", name],
-                capture_output=True, text=True, timeout=1800, env=child_env,
-            )
-            # last stdout line that parses as a {"metric": ...} record
-            for cand in reversed(proc.stdout.strip().splitlines()):
-                try:
-                    rec = json.loads(cand)
-                    if isinstance(rec, dict) and "metric" in rec:
-                        line = cand
-                        break
-                except (json.JSONDecodeError, ValueError):
-                    continue
-            if line is None:
-                err = (proc.stderr or "").strip().splitlines()
+        if timeout_s < 45:
+            line = json.dumps({
+                "metric": metric, "value": 0.0, "unit": "error",
+                "vs_baseline": 0.0,
+                "error": f"skipped: bench budget exhausted ({timeout_s:.0f}s left)",
+            })
+        else:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--one", name],
+                    capture_output=True, text=True, timeout=timeout_s,
+                    env=child_env,
+                )
+                # last stdout line that parses as a {"metric": ...} record
+                for cand in reversed(proc.stdout.strip().splitlines()):
+                    try:
+                        rec = json.loads(cand)
+                        if isinstance(rec, dict) and "metric" in rec:
+                            line = cand
+                            break
+                    except (json.JSONDecodeError, ValueError):
+                        continue
+                if line is None:
+                    err = (proc.stderr or "").strip().splitlines()
+                    line = json.dumps({
+                        "metric": metric, "value": 0.0, "unit": "error",
+                        "vs_baseline": 0.0,
+                        "error": (f"exit={proc.returncode} "
+                                  + " | ".join(err[-3:]))[:300],
+                    })
+            except subprocess.TimeoutExpired:
                 line = json.dumps({
                     "metric": metric, "value": 0.0, "unit": "error",
                     "vs_baseline": 0.0,
-                    "error": (f"exit={proc.returncode} " + " | ".join(err[-3:]))[:300],
+                    "error": f"timeout after {timeout_s:.0f}s",
                 })
-        except subprocess.TimeoutExpired:
-            line = json.dumps({
-                "metric": metric, "value": 0.0, "unit": "error",
-                "vs_baseline": 0.0, "error": "timeout after 1800s",
-            })
         lines[name] = line
         # stream as completed (a mid-run kill must not erase finished results) ...
         print(line, flush=True)
