@@ -159,5 +159,8 @@ def bilateral_filter_batch(
             cb, jax.ShapeDtypeStruct(inputs.shape, jnp.float32), images, inputs,
             vmap_method="sequential",
         )
+    if method not in ("grid", "brute"):
+        raise ValueError(f"unknown bilateral method {method!r}; "
+                         "expected 'grid', 'brute', or 'native'")
     fn = bilateral_filter_grid if method == "grid" else bilateral_filter_brute
     return jax.vmap(lambda im, x: fn(im, x, sigma_rgb, sigma_xy))(images, inputs)

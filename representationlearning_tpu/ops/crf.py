@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bilateral import bilateral_filter_grid
+from .bilateral import bilateral_filter_batch, bilateral_filter_grid
 
 
 def _gaussian_blur_2d(x: jax.Array, sigma: float) -> jax.Array:
@@ -57,7 +57,8 @@ def _sym_normalize(filter_fn, x):
     return filter_fn(x * norm) * norm
 
 
-@partial(jax.jit, static_argnames=("t", "sxy_g", "compat_g", "sxy_b", "srgb_b", "compat_b"))
+@partial(jax.jit, static_argnames=("t", "sxy_g", "compat_g", "sxy_b", "srgb_b",
+                                   "compat_b", "method"))
 def mean_field_inference(
     image: jax.Array,
     unary: jax.Array,
@@ -67,11 +68,24 @@ def mean_field_inference(
     sxy_b: float = 80.0,
     srgb_b: float = 13.0,
     compat_b: float = 10.0,
+    method: str = "grid",
 ) -> jax.Array:
     """image (H,W,3) uint8-range RGB; unary (H,W,C) negative log probabilities.
-    Returns Q (H,W,C)."""
+    Returns Q (H,W,C).
+
+    `method` selects the bilateral message backend (same knob as the DenseEnergy
+    loss, `losses/energy.py`): "grid" = on-device bilateral grid (default),
+    "native" = the exact C++ permutohedral lattice via host callback — the
+    backend family pydensecrf itself uses (`utils/dcrf.py:7-40`), "brute" =
+    exact O(N^2) Gaussian (tiny images/tests). The symmetric kernel
+    normalization cancels any constant amplitude gain between backends, so they
+    differ only in approximation error."""
     g_fn = lambda v: _gaussian_blur_2d(v, sxy_g)
-    b_fn = lambda v: bilateral_filter_grid(image, v, srgb_b, sxy_b)
+    if method == "grid":
+        b_fn = lambda v: bilateral_filter_grid(image, v, srgb_b, sxy_b)
+    else:
+        b_fn = lambda v: bilateral_filter_batch(
+            image[None], v[None], srgb_b, sxy_b, method=method)[0]
 
     Q = jax.nn.softmax(-unary, axis=-1)
 
@@ -100,24 +114,27 @@ def unary_from_labels(labels: jax.Array, n_labels: int, gt_prob: float = 0.7) ->
 
 
 def crf_inference(img: np.ndarray, probs: np.ndarray, t: int = 10,
-                  scale_factor: float = 1.0, labels: int = 21) -> np.ndarray:
+                  scale_factor: float = 1.0, labels: int = 21,
+                  method: str = "grid") -> np.ndarray:
     """`dcrf.py:7-24`: probs (C,H,W) softmax -> refined probs (C,H,W)."""
     u = unary_from_softmax(jnp.asarray(probs).transpose(1, 2, 0))
     Q = mean_field_inference(
         jnp.asarray(img, jnp.float32), u, t=t,
         sxy_g=3.0 / scale_factor, compat_g=3.0,
-        sxy_b=80.0 / scale_factor, srgb_b=13.0, compat_b=10.0,
+        sxy_b=80.0 / scale_factor, srgb_b=13.0, compat_b=10.0, method=method,
     )
     return np.asarray(Q.transpose(2, 0, 1))
 
 
 def crf_inference_label(img: np.ndarray, labels_map: np.ndarray, t: int = 10,
-                        n_labels: int = 21, gt_prob: float = 0.7) -> np.ndarray:
+                        n_labels: int = 21, gt_prob: float = 0.7,
+                        method: str = "grid") -> np.ndarray:
     """`dcrf.py:26-40` / `imutils.py:156-169`: hard-label unary -> refined argmax."""
     u = unary_from_labels(jnp.asarray(labels_map), n_labels, gt_prob)
     Q = mean_field_inference(
         jnp.asarray(img, jnp.float32), u, t=t,
         sxy_g=3.0, compat_g=3.0, sxy_b=50.0, srgb_b=5.0, compat_b=10.0,
+        method=method,
     )
     return np.asarray(Q.argmax(-1))
 
@@ -125,13 +142,15 @@ def crf_inference_label(img: np.ndarray, labels_map: np.ndarray, t: int = 10,
 class DenseCRF:
     """Parameterized wrapper (`dcrf.py:42-68`)."""
 
-    def __init__(self, iter_max, pos_w, pos_xy_std, bi_w, bi_xy_std, bi_rgb_std):
+    def __init__(self, iter_max, pos_w, pos_xy_std, bi_w, bi_xy_std, bi_rgb_std,
+                 method: str = "grid"):
         self.iter_max = iter_max
         self.pos_w = pos_w
         self.pos_xy_std = pos_xy_std
         self.bi_w = bi_w
         self.bi_xy_std = bi_xy_std
         self.bi_rgb_std = bi_rgb_std
+        self.method = method
 
     def __call__(self, image: np.ndarray, probmap: np.ndarray) -> np.ndarray:
         u = unary_from_softmax(jnp.asarray(probmap).transpose(1, 2, 0))
@@ -139,5 +158,6 @@ class DenseCRF:
             jnp.asarray(image, jnp.float32), u, t=self.iter_max,
             sxy_g=self.pos_xy_std, compat_g=self.pos_w,
             sxy_b=self.bi_xy_std, srgb_b=self.bi_rgb_std, compat_b=self.bi_w,
+            method=self.method,
         )
         return np.asarray(Q.transpose(2, 0, 1))

@@ -289,7 +289,8 @@ def cams_to_label_resized(cam_label: jax.Array, mask: jax.Array | None = None,
 
 def cam_to_fg_bg_label(images_norm, cams, cls_label, bg_thre: float = 0.3,
                        fg_thre: float = 0.6,
-                       mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375)):
+                       mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375),
+                       crf_method: str = "grid"):
     """CRF-refined confident fg/bg label (`camutils.py:39-83` `cam_to_fg_bg_label`):
     per image, pad the valid-class CAMs with low/high background planes, argmax, CRF
     with label unary, combine: confident-fg map with 1 where high-pass says bg and 0
@@ -308,8 +309,10 @@ def cam_to_fg_bg_label(images_norm, cams, cls_label, bg_thre: float = 0.3,
         valid = cams_np[i].transpose(2, 0, 1)[keys[1:] - 1]
         lt = np.concatenate([np.full((1,) + valid.shape[1:], bg_thre), valid], 0)
         ht = np.concatenate([np.full((1,) + valid.shape[1:], fg_thre), valid], 0)
-        lt_lab = crf_inference_label(imgs[i], np.argmax(lt, 0), n_labels=max(len(keys), 2))
-        ht_lab = crf_inference_label(imgs[i], np.argmax(ht, 0), n_labels=max(len(keys), 2))
+        lt_lab = crf_inference_label(imgs[i], np.argmax(lt, 0), n_labels=max(len(keys), 2),
+                                     method=crf_method)
+        ht_lab = crf_inference_label(imgs[i], np.argmax(ht, 0), n_labels=max(len(keys), 2),
+                                     method=crf_method)
         lt_m = keys[lt_lab]
         ht_m = keys[ht_lab]
         o = ht_m.astype(np.float32)

@@ -63,6 +63,11 @@ class WaveCAMConfig:
     sem_seg_bg_thres: float = 0.28
     rw_radius: int = 5
     irn_radius: float = 10.0
+    # bilateral backend for the CRF stages: "grid" (on-device bilateral grid)
+    # or "native" (exact C++ permutohedral lattice — pydensecrf's own backend
+    # family, `misc/imutils.py:156`). Label-level agreement between the two is
+    # measured in tests/test_indexing_crf.py::test_crf_label_grid_vs_native.
+    crf_method: str = "grid"
     seed: int = 0
     # synthetic-data knobs (used when no VOC root is given)
     synthetic_n: int = 16
@@ -266,10 +271,12 @@ class WaveCAMPipeline:
             n_labels = keys.shape[0]
 
             fg_conf_cam = np.pad(cams, ((1, 0), (0, 0), (0, 0)), constant_values=cfg.conf_fg_thres)
-            fg_pred = crf_inference_label(img, np.argmax(fg_conf_cam, 0), n_labels=max(n_labels, 2))
+            fg_pred = crf_inference_label(img, np.argmax(fg_conf_cam, 0), n_labels=max(n_labels, 2),
+                                          method=cfg.crf_method)
             fg_conf = keys[fg_pred]
             bg_conf_cam = np.pad(cams, ((1, 0), (0, 0), (0, 0)), constant_values=cfg.conf_bg_thres)
-            bg_pred = crf_inference_label(img, np.argmax(bg_conf_cam, 0), n_labels=max(n_labels, 2))
+            bg_pred = crf_inference_label(img, np.argmax(bg_conf_cam, 0), n_labels=max(n_labels, 2),
+                                          method=cfg.crf_method)
             bg_conf = keys[bg_pred]
 
             conf = fg_conf.copy()

@@ -130,3 +130,32 @@ def test_mean_field_matches_bruteforce_densecrf(rng):
     corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
     assert agree > 0.9, agree
     assert corr > 0.9, corr
+
+
+def test_crf_label_grid_vs_native():
+    """Label-level agreement of the bilateral-grid CRF vs the exact C++
+    permutohedral lattice backend — the approximation pseudo-labels flow
+    through in `cam_to_ir_label` (`WaveCAM-TMM2023/step/cam_to_ir_label.py:19-62`)
+    and `cam_to_fg_bg_label` (`RML/.../camutils.py:39-83`). The grid's ~0.14
+    filter-level relative error collapses to <1% label flips after the
+    hard-label unary + 10 mean-field rounds: measured 99.93% mean pixel
+    agreement over 4 synthetic CAM-like images at 96x128 (PARITY.md)."""
+    rng = np.random.default_rng(0)
+    H, W = 96, 128
+    img = np.zeros((H, W, 3), np.float32)
+    lab = np.zeros((H, W), np.int32)
+    for k in range(1, 4):
+        cy, cx = rng.integers(10, H - 10), rng.integers(10, W - 10)
+        r = rng.integers(10, 28)
+        yy, xx = np.mgrid[0:H, 0:W]
+        m = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        lab[m] = k
+        img[m] = rng.random(3) * 200 + 30
+    img += rng.normal(0, 12, img.shape).astype(np.float32)
+    img = np.clip(img, 0, 255)
+    noisy = np.where(rng.random((H, W)) < 0.08,
+                     rng.integers(0, 4, (H, W)), lab)
+    g = CRF.crf_inference_label(img, noisy, t=10, n_labels=4, method="grid")
+    n = CRF.crf_inference_label(img, noisy, t=10, n_labels=4, method="native")
+    agree = (g == n).mean()
+    assert agree > 0.99, agree
