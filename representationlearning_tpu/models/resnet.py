@@ -46,25 +46,31 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     has_downsample: bool = False
+    dtype: Any = None  # bf16 casts conv inputs+kernels (f32 MXU accumulation);
+    # ResNet's DENSE convs are MXU-bound (35.5% MFU measured in f32 — the bf16
+    # pathology round 2 measured was MiT's DEPTHWISE conv, not these)
 
     @nn.compact
     def __call__(self, x):
         d = self.dilation
-        out = TorchConv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = TorchConv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv1")(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
         out = TorchConv(
             self.planes, (3, 3), stride=(self.stride, self.stride),
-            padding=(d, d), dilation=(d, d), use_bias=False, name="conv2",
+            padding=(d, d), dilation=(d, d), use_bias=False, dtype=self.dtype,
+            name="conv2",
         )(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         out = nn.relu(out)
-        out = TorchConv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = TorchConv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv3")(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
         if self.has_downsample:
             res = TorchConv(
                 self.planes * 4, (1, 1), stride=(self.stride, self.stride),
-                use_bias=False, name="downsample_conv",
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
             res = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(res)
         else:
@@ -108,8 +114,8 @@ class ResNet50Backbone(nn.Module):
             x = space_to_depth_conv(x, kernel, None, stride=s0, padding=3,
                                     dtype=self.dtype)
         else:
-            x = TorchConv(64, (7, 7), stride=(s0, s0),
-                          padding=(3, 3), use_bias=False, name="conv1")(x)
+            x = TorchConv(64, (7, 7), stride=(s0, s0), padding=(3, 3),
+                          use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         x = _max_pool_3x3_s2(x)
@@ -124,9 +130,11 @@ class ResNet50Backbone(nn.Module):
         inplanes = 64
         for planes, blocks, stride, dilation, name in layer_specs:
             needs_ds = stride != 1 or inplanes != planes * 4
-            x = Bottleneck(planes, stride, 1, needs_ds, name=f"{name}_0")(x)
+            x = Bottleneck(planes, stride, 1, needs_ds, dtype=self.dtype,
+                           name=f"{name}_0")(x)
             for b in range(1, blocks):
-                x = Bottleneck(planes, 1, dilation, False, name=f"{name}_{b}")(x)
+                x = Bottleneck(planes, 1, dilation, False, dtype=self.dtype,
+                               name=f"{name}_{b}")(x)
             inplanes = planes * 4
             feats.append(x)
         return feats

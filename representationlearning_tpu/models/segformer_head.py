@@ -35,6 +35,7 @@ class _SlicedFuseConv(nn.Module):
 
     features: int
     total_in: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, embeds: Sequence[jax.Array], tgt) -> jax.Array:
@@ -47,7 +48,10 @@ class _SlicedFuseConv(nn.Module):
             cin = e.shape[-1]
             w = kernel[0, 0, off : off + cin, :]
             off += cin
-            f = jnp.einsum("bhwc,cf->bhwf", e, w.astype(e.dtype))
+            if self.dtype is not None:
+                e = e.astype(self.dtype)
+            f = jnp.einsum("bhwc,cf->bhwf", e, w.astype(e.dtype),
+                           preferred_element_type=jnp.float32).astype(e.dtype)
             if f.shape[1:3] != tuple(tgt):
                 f = resize_bilinear_auto(f, tgt, align_corners=False)
             acc = f if acc is None else acc + f
@@ -60,10 +64,12 @@ class _LowResFuse(nn.Module):
 
     features: int
     total_in: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, embeds, tgt, train: bool = False) -> jax.Array:
-        x = _SlicedFuseConv(self.features, self.total_in, name="conv")(embeds, tgt)
+        x = _SlicedFuseConv(self.features, self.total_in, dtype=self.dtype,
+                            name="conv")(embeds, tgt)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
         )(x)
@@ -80,14 +86,21 @@ class SegFormerHead(nn.Module):
     def __call__(self, feats: Sequence[jax.Array], train: bool = False) -> jax.Array:
         c1, c2, c3, c4 = feats  # NHWC at strides 4/8/16/32(or 16)
         tgt = c1.shape[1:3]
+        # dtype=bf16: the head is HBM-bound on the four (B, tgt, 256) embed/
+        # upsample streams (the encoder's bf16 residency stops at the stage
+        # LNs); bf16 storage halves that traffic, matmuls accumulate f32,
+        # BN statistics stay f32 (flax force_float32_reductions)
+        hdt = None if self.dtype == jnp.float32 else self.dtype
         embeds = []
         for i, c in ((4, c4), (3, c3), (2, c2), (1, c1)):
             e = nn.Dense(
-                self.embedding_dim, kernel_init=trunc_normal_init(), name=f"linear_c{i}"
+                self.embedding_dim, kernel_init=trunc_normal_init(),
+                dtype=hdt, name=f"linear_c{i}"
             )(c)
             embeds.append(e)
         x = _LowResFuse(
-            self.embedding_dim, self.embedding_dim * 4, name="linear_fuse"
+            self.embedding_dim, self.embedding_dim * 4, dtype=hdt,
+            name="linear_fuse"
         )(embeds, tgt, train=train)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
         x = nn.Conv(self.num_classes, (1, 1), name="linear_pred")(x)

@@ -139,14 +139,16 @@ def test_crf_label_grid_vs_native():
     and `cam_to_fg_bg_label` (`RML/.../camutils.py:39-83`). The grid's ~0.14
     filter-level relative error collapses to <1% label flips after the
     hard-label unary + 10 mean-field rounds: measured 99.93% mean pixel
-    agreement over 4 synthetic CAM-like images at 96x128 (PARITY.md)."""
+    agreement over 4 synthetic CAM-like images at 96x128 (PARITY.md); this
+    test asserts the same property at a smaller geometry (99.90% measured)
+    to stay inside the fast-tier time budget."""
     rng = np.random.default_rng(0)
-    H, W = 96, 128
+    H, W = 64, 96
     img = np.zeros((H, W, 3), np.float32)
     lab = np.zeros((H, W), np.int32)
     for k in range(1, 4):
         cy, cx = rng.integers(10, H - 10), rng.integers(10, W - 10)
-        r = rng.integers(10, 28)
+        r = rng.integers(8, 20)
         yy, xx = np.mgrid[0:H, 0:W]
         m = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
         lab[m] = k

@@ -23,6 +23,12 @@ def _voc_labels(rng, batch, num_fg):
     return out
 
 
+def _dense_labels(rng, batch, num_fg):
+    """BENCH_r03's exact label construction (bernoulli 0.3/class, ~6 present
+    classes/image): `git show 403319c:bench.py` bench_rml_train."""
+    return (rng.random((batch, num_fg)) > 0.7).astype(np.float32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("batch", type=int, default=4, nargs="?")
@@ -36,6 +42,10 @@ def main():
     ap.add_argument("--cam-act-bf16", action="store_true",
                     help="bf16 residual-stream residency on the no-grad cam "
                          "twin (grad model unchanged)")
+    ap.add_argument("--r03-protocol", action="store_true",
+                    help="BENCH_r03 workload for apples-to-apples comparison: "
+                         "dense ~6-present-class labels (round 4 moved the "
+                         "bench to VOC-realistic ~1.5; pair with batch 4)")
     args = ap.parse_args()
 
     import jax
@@ -88,7 +98,9 @@ def main():
     batch_data = {
         "raw": jnp.asarray(rng.integers(0, 256, (batch, 512, 512, 3)), jnp.uint8),
         "hw": jnp.tile(jnp.asarray([[375, 500]], jnp.int32), (batch, 1)),
-        "cls_label": jnp.asarray(_voc_labels(rng, batch, 20), jnp.float32),
+        "cls_label": jnp.asarray(
+            _dense_labels(rng, batch, 20) if args.r03_protocol
+            else _voc_labels(rng, batch, 20), jnp.float32),
     }
     inner = make_rml_train_step(model.apply, cfg, cam_apply_fn=cam_apply_fn)
 

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--fused-mlp", action="store_true")
     ap.add_argument("--conv-mm", action="store_true")
     ap.add_argument("--no-defer-bn-ema", action="store_true")
+    ap.add_argument("--no-transformer", action="store_true",
+                    help="pure-conv HRNetV2 skeleton (with_transformer=False): "
+                         "splits conv vs transformer-block cost in training")
     ap.add_argument("--trace", default=None)
     args = ap.parse_args()
 
@@ -73,6 +76,7 @@ def main():
         cfg = RSSFormerTrainConfig()
         model = HRNetFusion(hrnet_type="hrnetv2_w32", classes=7, dtype=jnp.bfloat16,
                             defer_bn_ema=not args.no_defer_bn_ema,
+                            with_transformer=not args.no_transformer,
                             conv_mm=args.conv_mm)
         state = create_rssformer_state(model, (512, 512, 3), cfg)
         batch_data = {
@@ -98,7 +102,8 @@ def main():
             t0 = time.perf_counter(); run(4); tl = time.perf_counter() - t0
             diffs.append((tl - ts) / 3)
         sec = statistics.median(diffs)
-        print(f"train batch={batch} defer_bn_ema={not args.no_defer_bn_ema}: "
+        print(f"train batch={batch} defer_bn_ema={not args.no_defer_bn_ema} "
+              f"transformer={not args.no_transformer}: "
               f"{sec*1000:.1f} ms/step, {batch/sec:.1f} img/s")
         if args.trace:
             with jax.profiler.trace(args.trace):
