@@ -20,6 +20,9 @@ def main():
     ap.add_argument("batch", type=int, default=8, nargs="?")
     ap.add_argument("--trace", default=None)
     ap.add_argument("--s2d", action="store_true", help="space-to-depth ResNet stem")
+    ap.add_argument("--f32", action="store_true",
+                    help="f32 convs (the pre-round-5 behavior: Net(dtype=bf16) "
+                         "never reached the Bottleneck convs)")
     args = ap.parse_args()
 
     import jax
@@ -28,7 +31,9 @@ def main():
     from representationlearning_tpu.models.resnet import Net
 
     batch = args.batch
-    model = Net(n_classes=20, dtype=jnp.bfloat16, s2d_stem=args.s2d)
+    model = Net(n_classes=20,
+                dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+                s2d_stem=args.s2d)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
