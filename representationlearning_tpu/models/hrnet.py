@@ -141,6 +141,11 @@ class HighResolutionModule(nn.Module):
     defer_bn_ema: bool = False
     fused_mlp: bool = False
     conv_mm: bool = False
+    # rematerialize each GeneralTransformerBlock in the backward pass: the saved
+    # window-attention probabilities pad 3-4x on TPU ((.., 49, 49) tiles against
+    # T(8,128)) and dominate train-step HBM at batch >= 16 (the b16 step OOMed
+    # at 26.2G of 15.75G before this; the blocks are ~15% of step FLOPs)
+    remat_transformer: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -184,12 +189,14 @@ class HighResolutionModule(nn.Module):
                                  name=f"fuse{i}_{j}")(xs[j], train)
                 low = t if low is None else low + t
             if i == 0 and self.with_transformer:
-                y = GeneralTransformerBlock(self.channels[0], num_heads=2,
-                                            dtype=self.dtype,
-                                            defer_bn_ema=self.defer_bn_ema,
-                                            fused_mlp=self.fused_mlp,
-                                            conv_mm=self.conv_mm,
-                                            name="transformer")(low, y, train=train)
+                block_cls = (nn.remat(GeneralTransformerBlock, static_argnums=(3,))
+                             if self.remat_transformer else GeneralTransformerBlock)
+                y = block_cls(self.channels[0], num_heads=2,
+                              dtype=self.dtype,
+                              defer_bn_ema=self.defer_bn_ema,
+                              fused_mlp=self.fused_mlp,
+                              conv_mm=self.conv_mm,
+                              name="transformer")(low, y, train)
             else:
                 y = y + low
             outs.append(nn.relu(y))
@@ -237,6 +244,7 @@ class HighResolutionNet(nn.Module):
     defer_bn_ema: bool = False
     fused_mlp: bool = False
     conv_mm: bool = False
+    remat_transformer: bool = False  # see HighResolutionModule.remat_transformer
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -273,6 +281,7 @@ class HighResolutionNet(nn.Module):
                     with_transformer=self.with_transformer,
                     dtype=self.dtype, defer_bn_ema=self.defer_bn_ema,
                     fused_mlp=self.fused_mlp, conv_mm=self.conv_mm,
+                    remat_transformer=self.remat_transformer,
                     name=f"stage{stage}_m{m}",
                 )(feats, train)
             prev = cur

@@ -295,6 +295,7 @@ class OverlapPatchEmbed(nn.Module):
     patch_size: int
     stride: int
     embed_dim: int
+    dtype: Any = None  # compute dtype of the embed conv (params stay f32)
     s2d: bool = False  # space-to-depth stem lowering; opt-in per geometry:
     # the stem conv in isolation runs at 4 TF/s (Cin=3 starves the MXU) but the
     # s2d reshape/layout measured a 16% END-TO-END headline LOSS at 512^2
@@ -316,11 +317,12 @@ class OverlapPatchEmbed(nn.Module):
                 (self.patch_size, self.patch_size, C, self.embed_dim),
                 name="proj")()
             x = space_to_depth_conv(x, kernel, bias, stride=self.stride,
-                                    padding=p)
+                                    padding=p, dtype=self.dtype)
         else:
             x = TorchConv(
                 self.embed_dim, (self.patch_size, self.patch_size),
-                stride=(self.stride, self.stride), padding=(p, p), name="proj",
+                stride=(self.stride, self.stride), padding=(p, p),
+                dtype=self.dtype, name="proj",
             )(x)
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
@@ -379,6 +381,7 @@ class MixVisionTransformer(nn.Module):
         for s in range(4):
             x, H, W = OverlapPatchEmbed(
                 self.patch_sizes[s], self.strides[s], self.embed_dims[s],
+                dtype=None if self.dtype == jnp.float32 else self.dtype,
                 s2d=self.s2d_stem, name=f"patch_embed{s + 1}",
             )(x)
             for b in range(self.depths[s]):
@@ -387,9 +390,17 @@ class MixVisionTransformer(nn.Module):
                 )
                 if self.remat:
                     block_cls = nn.remat(Block, static_argnums=(2, 3, 4))
-                elif self.fused_blocks and (not want or self.sr_ratios[s] == 1):
+                elif self.fused_blocks and not want:
                     block_cls = FusedBlock
                 else:
+                    # Exporting blocks take the XLA path even under fused_blocks:
+                    # when the caller never consumes the exported logits (the
+                    # headline seg forward reads only feats), XLA dead-code-
+                    # eliminates the whole export — a pallas export kernel
+                    # always computes and writes the (B, nh, N, N) logits
+                    # (opaque custom call; measured 1.6 ms of the 8.8 ms
+                    # headline forward, r5). FusedBlock(export_attn=True)
+                    # remains available as a memory lever.
                     block_cls = Block
                 fused = block_cls is FusedBlock
                 if self.act_dtype is not None:

@@ -26,14 +26,20 @@ from .layers import RawStatBatchNorm, TorchConv
 class SimpleFusion8(nn.Module):
     in_channels: int
     defer_bn_ema: bool = False
+    dtype: Any = None  # compute/storage dtype of the upsample+concat+conv chain
+    # (bf16 halves the (B, 128, 128, 480) concat — the largest single HBM
+    # structure in the train step at 512^2; conv accumulates f32, BN stats f32)
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
         x0 = feats[0]
         tgt = x0.shape[1:3]
-        ups = [x0] + [resize_bilinear_auto(f, tgt, align_corners=True) for f in feats[1:]]
+        dt = self.dtype
+        cast = (lambda a: a.astype(dt)) if dt is not None else (lambda a: a)
+        ups = [cast(x0)] + [cast(resize_bilinear_auto(f, tgt, align_corners=True))
+                            for f in feats[1:]]
         x = jnp.concatenate(ups, axis=-1)
-        x = TorchConv(self.in_channels, (1, 1), name="conv")(x)
+        x = TorchConv(self.in_channels, (1, 1), dtype=dt, name="conv")(x)
         cls = RawStatBatchNorm if self.defer_bn_ema else nn.BatchNorm
         x = cls(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name="bn")(x)
@@ -61,6 +67,17 @@ class HRNetFusion(nn.Module):
     # matmuls in BOTH train and predict (differentiable; same params) —
     # attacks the conv-emitter layout churn around the transformer blocks
     conv_mm: bool = False
+    # remat_transformer=True recomputes each GeneralTransformerBlock in the
+    # backward pass (see hrnet.HighResolutionModule) — unlocks batch >= 16
+    # training at 512^2 on a 16G chip (b16 OOMed at 26.2G/15.75G without it).
+    # NOT a throughput lever: b16+remat measured 26.0 img/s vs 27.3 at b8 on
+    # the v5e (r5) — the step is batch-proportional, not fixed-tail-dominated.
+    remat_transformer: bool = False
+    # neck_bf16=True runs the SimpleFusion8 upsample+concat+conv chain in bf16
+    # (halves the (B, 128, 128, 480) concat, the largest train-step HBM
+    # structure). Memory lever only: at batch 8 it measured 292.8 vs ~267
+    # ms/step (r5 A/B) — the cast/layout overhead beats the traffic saving.
+    neck_bf16: bool = False
 
     def setup(self):
         if self.hrnet_type in HRT_CONFIGS:
@@ -77,11 +94,13 @@ class HRNetFusion(nn.Module):
             self.backbone = HighResolutionNet(
                 self.hrnet_type, with_transformer=self.with_transformer,
                 dtype=self.dtype, defer_bn_ema=self.defer_bn_ema,
-                fused_mlp=self.fused_mlp, conv_mm=self.conv_mm, name="backbone",
+                fused_mlp=self.fused_mlp, conv_mm=self.conv_mm,
+                remat_transformer=self.remat_transformer, name="backbone",
             )
         self.neck_channels = sum(widths)
-        self.neck = SimpleFusion8(self.neck_channels, defer_bn_ema=self.defer_bn_ema,
-                                  name="neck")
+        self.neck = SimpleFusion8(
+            self.neck_channels, defer_bn_ema=self.defer_bn_ema,
+            dtype=jnp.bfloat16 if self.neck_bf16 else None, name="neck")
         self.head_conv = nn.Conv(self.classes, (1, 1), name="head_conv")
         self.headaux = nn.Dense(self.classes, name="headaux")
 

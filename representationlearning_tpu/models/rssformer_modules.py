@@ -35,8 +35,13 @@ class _SpatialGateConv(nn.Module):
     reduce-window costing ~2.3 ms per layer on the v5e (PERF.md round 3 —
     ~18 ms/step across HRNetFusion's gate layers at batch 8 512^2, for a conv
     whose whole-step FLOPs are ~0.1 GF). The unrolled form autodiffs into 98
-    fusable elementwise reduces instead. Param tree identical to
-    `nn.Conv(name=...)`: <name>/kernel, shape (ks, ks, 2, 1), no bias."""
+    fusable elementwise reduces instead. An im2col lowering (49 taps gathered
+    into one (B, H, W, 98) tensor + a single contraction) was A/B'd on the v5e
+    in round 5 and REJECTED: predict 115.7 vs 126.5 tiles/s (the 49 slice
+    copies cost more than the unrolled MAC chain XLA fuses for free) and train
+    267.9 vs 266.7 ms/step (the per-tap grad reduces were never the tail).
+    Param tree identical to `nn.Conv(name=...)`: <name>/kernel,
+    shape (ks, ks, 2, 1), no bias."""
 
     kernel_size: int = 7
 
@@ -65,10 +70,16 @@ class SpatialAttention(nn.Module):
     kernel_size: int = 7
 
     @nn.compact
-    def __call__(self, x):
-        avg = x.mean(axis=-1, keepdims=True)
-        mx = x.max(axis=-1, keepdims=True)
-        h = jnp.concatenate([avg, mx], axis=-1)
+    def __call__(self, x, channel_axis: int = -1):
+        """x: feature map with channels on `channel_axis` (NHWC by default, or
+        axis=1 for a raw NCHW view — the reduction runs in-place either way, so
+        the caller never pays a full-tensor transpose just to feed the gate).
+        Returns the sigmoid gate map shaped (B, H, W, 1)."""
+        avg = x.mean(axis=channel_axis, keepdims=True)
+        mx = x.max(axis=channel_axis, keepdims=True)
+        h = jnp.concatenate([avg, mx], axis=channel_axis)
+        if channel_axis not in (-1, x.ndim - 1):
+            h = jnp.moveaxis(h, channel_axis, -1)  # (B, H, W, 2) — tiny
         h = _SpatialGateConv(self.kernel_size, name="conv1")(h)
         return jax.nn.sigmoid(h)
 
@@ -185,10 +196,12 @@ class InterlacedPoolAttention2(nn.Module):
         xv = x.reshape(B, C, H, W)  # raw reinterpret, matches reference .view
         yv = y.reshape(B, C, H, W)
 
-        # SpatialAttention runs on the reinterpreted NCHW view; our NHWC module gets
-        # a true transpose of it (equivalent computation)
-        w0 = SpatialAttention(name="atrous_block1")(xv.transpose(0, 2, 3, 1))
-        w1 = SpatialAttention(name="atrous_block2")(yv.transpose(0, 2, 3, 1))
+        # SpatialAttention runs on the reinterpreted NCHW view; the channel
+        # mean/max reduce in that layout directly (channel_axis=1) — no
+        # full-tensor transpose just to feed a 2-channel gate (equivalent
+        # computation; the r2 trace's layout ops around the gates)
+        w0 = SpatialAttention(name="atrous_block1")(xv, channel_axis=1)
+        w1 = SpatialAttention(name="atrous_block2")(yv, channel_axis=1)
         lv = jnp.concatenate([w0, w1], axis=-1)
         lv = TorchConv(2, (1, 1), name="weight_levels")(lv)
         lv = jax.nn.softmax(lv, axis=-1)  # (B, H, W, 2)
@@ -199,6 +212,11 @@ class InterlacedPoolAttention2(nn.Module):
         ym = yv.reshape(B, H, W, C)
 
         ws = self.window_size
+        # NOTE r5: a stacked variant (one pad+partition over the concatenated
+        # (2B, H, W, C) pair) was A/B'd on the v5e and measured NO better
+        # (116.2 vs 115.7 tiles/s on config 2, both below the r4-recorded
+        # 126.5 — see PERF.md round 5 on the environment delta); keeping the
+        # straightforward per-stream form
         xp, orig = window_pad(xm, ws)
         yp, _ = window_pad(ym, ws)
         Hp, Wp = xp.shape[1:3]

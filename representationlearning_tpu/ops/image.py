@@ -119,10 +119,58 @@ def resize_bilinear_mm(x: jax.Array, size, align_corners: bool = False,
     return xf.astype(dtype)
 
 
+def _upsample_axis_int(xf: jax.Array, s: int, axis: int) -> jax.Array:
+    """x-axis bilinear upsample by integer factor `s` (align_corners=False) as
+    `s` phase-blended copies interleaved by a free leading-dim reshape: output
+    o = s*i + r reads src = i + (2r+1-s)/(2s), i.e. a 2-tap blend of x[i] and
+    its edge-clamped neighbor. For power-of-two `s` the phase fractions are
+    dyadic, so the weights are BIT-IDENTICAL to `_axis_resize_coords` /
+    `_interp_matrix` (their f32 `(o+0.5)/s - 0.5` is exact). Channels stay
+    minor throughout — no transposed einsum intermediates (the decoder's
+    resize dot_generals ran in {3,2,1,0} layouts, ~1.1 ms of the 8.8 ms
+    headline forward, r5 trace)."""
+    axis = axis % xf.ndim
+    n = xf.shape[axis]
+
+    def sl(a, b):
+        idx = [slice(None)] * xf.ndim
+        idx[axis] = slice(a, b)
+        return xf[tuple(idx)]
+
+    prev = jnp.concatenate([sl(0, 1), sl(0, n - 1)], axis=axis)
+    nxt = jnp.concatenate([sl(1, n), sl(n - 1, n)], axis=axis)
+    phases = []
+    for r in range(s):
+        f = float(2 * r + 1 - s) / float(2 * s)
+        if f < 0.0:
+            phases.append((-f) * prev + (1.0 + f) * xf)
+        else:
+            phases.append((1.0 - f) * xf + f * nxt)
+    st = jnp.stack(phases, axis=axis + 1)  # (..., n, s, ...)
+    return st.reshape(xf.shape[: axis] + (n * s,) + xf.shape[axis + 1 :])
+
+
 def resize_bilinear_auto(x: jax.Array, size, align_corners: bool = False) -> jax.Array:
     """`resize_bilinear_mm` on TPU (MXU einsums, differentiable, no gather
-    intermediates), gather path elsewhere. Same taps/weights either way."""
+    intermediates), gather path elsewhere; integer power-of-two UPsampling at
+    align_corners=False takes the phase-interleave path (same taps/weights,
+    bit-identical for dyadic fractions, channels-minor layout). Same
+    taps/weights every way."""
     if jax.default_backend() == "tpu":
+        H_out, W_out = int(size[0]), int(size[1])
+        H_in, W_in = x.shape[-3], x.shape[-2]
+        if (not align_corners and H_out % max(H_in, 1) == 0
+                and W_out % max(W_in, 1) == 0
+                and H_out // H_in in (1, 2, 4, 8)
+                and W_out // W_in in (1, 2, 4, 8)
+                and (H_out, W_out) != (H_in, W_in)):
+            dtype = x.dtype
+            xf = x.astype(jnp.float32)
+            if H_out != H_in:
+                xf = _upsample_axis_int(xf, H_out // H_in, x.ndim - 3)
+            if W_out != W_in:
+                xf = _upsample_axis_int(xf, W_out // W_in, x.ndim - 2)
+            return xf.astype(dtype)
         return resize_bilinear_mm(x, size, align_corners=align_corners)
     return resize_bilinear(x, size, align_corners=align_corners)
 
@@ -268,11 +316,26 @@ def space_to_depth_conv(x, kernel, bias=None, stride: int = 4,
     if dtype is not None:
         x2 = x2.astype(dtype)
         k2 = k2.astype(dtype)
-    out = jax.lax.conv_general_dilated(
-        x2, k2, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    kh2, kw2 = k2.shape[:2]
+    if jax.default_backend() == "tpu" and kh2 * kw2 <= 9:
+        # shifted-einsum taps: XLA's conv emitter lowers this small-window
+        # folded conv as a multiply+reduce loop fusion (measured 0.95 ms at
+        # 2.6 TF/s on the 512^2 MiT-B1 stem, r5 trace); the per-tap
+        # dot_generals tile the (s*s*Cin, O) contraction onto the MXU
+        Ho = x2.shape[1] - kh2 + 1
+        Wo = x2.shape[2] - kw2 + 1
+        out = None
+        for dy in range(kh2):
+            for dx in range(kw2):
+                t = jnp.einsum("bhwc,co->bhwo", x2[:, dy:dy + Ho, dx:dx + Wo],
+                               k2[dy, dx], preferred_element_type=jnp.float32)
+                out = t if out is None else out + t
+    else:
+        out = jax.lax.conv_general_dilated(
+            x2, k2, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(dtype) if dtype is not None else out

@@ -98,6 +98,19 @@ def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps", export=False,
             hs = h2d.reshape(Hs, sr, Ws, sr, C).transpose(0, 2, 1, 3, 4)
             hs = hs.reshape(Hs * Ws, sr * sr * C)
             xs = _mm(hs, srk.reshape(sr * sr * C, C), dtype)
+        elif sr_mode == "ktile":
+            # patch matmul via LANE-dim concat of the sr^2 tap columns: ONE
+            # (Nk, sr*sr*C) @ (sr*sr*C, C) MXU matmul with a deep K instead of
+            # sr^2 thin K=C matmuls (the taps loop measured ~2 TF/s — ~0.5 ms
+            # of the 1.97 ms stage-1 kernel pair at the 512^2 headline, r5).
+            # Unlike "patch", only concatenation merges into the lane dim
+            # (no lane-merging reshape, which Mosaic rejects for C < 128);
+            # column order (ky, kx, c) matches the HWIO kernel flatten.
+            h5 = h2d.reshape(Hs, sr, Ws, sr, C)
+            cols = [h5[:, ky, :, kx, :].reshape(Hs * Ws, C)
+                    for ky in range(sr) for kx in range(sr)]
+            hs = jnp.concatenate(cols, axis=1)
+            xs = _mm(hs, srk.reshape(sr * sr * C, C), dtype)
         else:
             h5 = h2d.reshape(Hs, sr, Ws, sr, C)
             xs = None
@@ -192,7 +205,7 @@ def _kernel(*refs, keys, H, W, sr, nh, dtype, export):
     x_ref = refs[0]
     p = {k: r[...] for k, r in zip(keys, refs[1 : len(refs) - n_out])}
     res = _block_math(x_ref[0], p, H=H, W=W, sr=sr, nh=nh, dtype=dtype,
-                      export=export)
+                      sr_mode=SR_MODE, export=export)
     if export:
         out_ref, attn_ref = refs[-2], refs[-1]
         out_ref[0] = res[0].astype(out_ref.dtype)
@@ -302,10 +315,21 @@ def _vmem_fits(N: int, C: int, hid: int, Nk: int, nh: int = 0,
     est = 5 * N * C * 4 + 3 * N * hid * 4 + N * Nk * 4
     # pre-sr variant streams h (N, C) and xs (Nk, C) in as extra inputs
     est += N * C * 4 + Nk * C * 4
+    # ktile sr reduction builds the (Nk, sr*sr*C) tap matrix == N*C floats
+    est += N * C * 4
     if export:
         est += nh * N * Nk * 4
     return est <= _VMEM_BUDGET
 
+
+# In-kernel sr reduction formulation: "taps" (sr^2 thin matmuls, the round-3/4
+# form) vs "ktile" (lane-concat + one deep-K matmul). ktile is the right MXU
+# shape (the taps loop measures ~2 TF/s) but Mosaic cannot lower the lane-dim
+# concatenate of the strided tap slices ("result/input offset mismatch on
+# non-concat dimension", offsets {ky mod 8, 64*(kx mod 2)} at C=64) — blocked
+# until Mosaic gains a relayout for mismatched concat operands, so default
+# stays "taps".
+SR_MODE = "taps"
 
 # sr > 1 front-end choice, A/B'd on v5e both ways (PERF.md round 4): the
 # in-kernel sr^2-tap reduction wins END-TO-END at both measured geometries

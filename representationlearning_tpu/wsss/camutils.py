@@ -183,10 +183,15 @@ def refine_cams_with_bkg_v2(
         lbl = ref.argmax(axis=-1)
         if idx is None:
             return lbl
-        # map compact fg indices back to original class ids (bkg stays 0)
-        full = jnp.take_along_axis(idx, jnp.maximum(lbl - 1, 0).reshape(B, -1),
-                                   axis=1).reshape(B, H, W) + 1
-        return jnp.where(lbl == 0, 0, full)
+        # map compact fg indices back to original class ids (bkg stays 0) via a
+        # one-hot contraction over the P compact slots — a per-pixel
+        # take_along_axis here lowers to a SERIAL s32 gather over B*H*W
+        # elements (9.3 ms x2 per RML step, the largest non-kernel item in the
+        # r5 trace); the P=8 select chain fuses into one vector pass
+        full = jnp.zeros((B, H, W), lbl.dtype)
+        for p_slot in range(Cf):
+            full = jnp.where(lbl == p_slot + 1, idx[:, p_slot, None, None] + 1, full)
+        return full  # lbl == 0 (bkg) stays 0
 
     label_h = label_of(both[..., :C])
     label_l = label_of(both[..., C:])

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--no-transformer", action="store_true",
                     help="pure-conv HRNetV2 skeleton (with_transformer=False): "
                          "splits conv vs transformer-block cost in training")
+    ap.add_argument("--remat", action="store_true",
+                    help="remat_transformer=True (recompute the transformer "
+                         "blocks in backward; required for train batch >= 16)")
+    ap.add_argument("--neck-bf16", action="store_true",
+                    help="bf16 SimpleFusion8 chain (memory lever; slower at b8)")
     ap.add_argument("--trace", default=None)
     args = ap.parse_args()
 
@@ -77,7 +82,9 @@ def main():
         model = HRNetFusion(hrnet_type="hrnetv2_w32", classes=7, dtype=jnp.bfloat16,
                             defer_bn_ema=not args.no_defer_bn_ema,
                             with_transformer=not args.no_transformer,
-                            conv_mm=args.conv_mm)
+                            conv_mm=args.conv_mm,
+                            remat_transformer=args.remat,
+                            neck_bf16=args.neck_bf16)
         state = create_rssformer_state(model, (512, 512, 3), cfg)
         batch_data = {
             "image": jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32),
@@ -103,7 +110,7 @@ def main():
             diffs.append((tl - ts) / 3)
         sec = statistics.median(diffs)
         print(f"train batch={batch} defer_bn_ema={not args.no_defer_bn_ema} "
-              f"transformer={not args.no_transformer}: "
+              f"transformer={not args.no_transformer} remat={args.remat}: "
               f"{sec*1000:.1f} ms/step, {batch/sec:.1f} img/s")
         if args.trace:
             with jax.profiler.trace(args.trace):
