@@ -390,17 +390,15 @@ class MixVisionTransformer(nn.Module):
                 )
                 if self.remat:
                     block_cls = nn.remat(Block, static_argnums=(2, 3, 4))
-                elif self.fused_blocks and not want:
+                elif self.fused_blocks and (not want or self.sr_ratios[s] == 1):
+                    # NOTE r5: routing the exporting sr==1 blocks to the XLA
+                    # path (hoping DCE removes the unused export) was A/B'd
+                    # and REJECTED: the export logits share the QK matmul the
+                    # block needs anyway, so nothing is saved, and the XLA
+                    # stage-4 blocks measured ~2.6 ms vs the kernels' 1.62 ms
+                    # (headline 680 vs 905 tiles/s end to end).
                     block_cls = FusedBlock
                 else:
-                    # Exporting blocks take the XLA path even under fused_blocks:
-                    # when the caller never consumes the exported logits (the
-                    # headline seg forward reads only feats), XLA dead-code-
-                    # eliminates the whole export — a pallas export kernel
-                    # always computes and writes the (B, nh, N, N) logits
-                    # (opaque custom call; measured 1.6 ms of the 8.8 ms
-                    # headline forward, r5). FusedBlock(export_attn=True)
-                    # remains available as a memory lever.
                     block_cls = Block
                 fused = block_cls is FusedBlock
                 if self.act_dtype is not None:

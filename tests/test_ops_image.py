@@ -128,3 +128,26 @@ def test_space_to_depth_conv_matches_strided_conv():
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=5e-5)
+
+
+@pytest.mark.parametrize("hw,factor", [((16, 16), 8), ((64, 64), 2), ((32, 16), 4),
+                                       ((7, 9), 2)])
+def test_upsample_int_phases_matches_gather_and_torch(hw, factor):
+    """The phase-interleave integer upsample (`_upsample_axis_int`, the TPU
+    fast path of resize_bilinear_auto for align_corners=False power-of-two
+    upscales) matches the gather path and torch F.interpolate exactly (dyadic
+    phase fractions -> identical f32 weights)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    hi, wi = hw
+    x = rng.standard_normal((2, hi, wi, 5)).astype(np.float32)
+    size = (hi * factor, wi * factor)
+    got = np.asarray(I._upsample_axis_int(
+        I._upsample_axis_int(jnp.asarray(x), factor, 1), factor, 2))
+    ref = np.asarray(I.resize_bilinear(jnp.asarray(x), size, align_corners=False))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    tref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=size,
+                         mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(got, tref.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5, rtol=1e-5)

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--trace", default=None)
     ap.add_argument("--no-fused", action="store_true")
     ap.add_argument("--act-dtype", default=None, choices=[None, "bf16"])
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem (r5: the folded conv now lowers "
+                         "as shifted-einsum MXU taps — re-test the r4 loss)")
     args = ap.parse_args()
 
     import jax
@@ -34,7 +37,7 @@ def main():
     if args.act_dtype == "bf16":
         kw["act_dtype"] = jnp.bfloat16
     model = TSCD(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16,
-                 fused_blocks=not args.no_fused, **kw)
+                 fused_blocks=not args.no_fused, s2d_stem=args.s2d, **kw)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 512, 512, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
