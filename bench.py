@@ -519,10 +519,15 @@ BENCH_PRINT_ORDER = [
 # warm persistent compile cache makes the whole run ~7 x 60 s.
 BENCH_TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 2400))
 BENCH_FLOOR_S = 90.0
+# Caps sized to COLD-cache compile times measured on the r5 box (1 CPU core:
+# headline ~460-540 s, rml_train ~690 s, rssformer_train ~480 s, predict
+# ~610 s). The total-budget scheduler still bounds the whole run; with the
+# persistent cache warm (any prior run on the same box) each config is
+# ~60-120 s and every cap is irrelevant.
 PER_CONFIG_MAX_S = {
-    "segformer_b1": 420, "rml_train": 900, "rssformer_train": 600,
-    "rssformer_tta_eval": 600, "wavecam_cams": 300, "rssformer_predict": 300,
-    "scd_pseudo_labels": 300,
+    "segformer_b1": 750, "rml_train": 1000, "rssformer_train": 800,
+    "rssformer_tta_eval": 700, "wavecam_cams": 500, "rssformer_predict": 800,
+    "scd_pseudo_labels": 600,
 }
 
 

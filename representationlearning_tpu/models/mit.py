@@ -379,9 +379,13 @@ class MixVisionTransformer(nn.Module):
         outs, attns = [], []
         cur = 0
         for s in range(4):
+            # NOTE r5: plumbing bf16 compute into the patch-embed convs was
+            # A/B'd with the headline trace and showed no gain (the stem conv
+            # stayed at 0.94 ms; the extra converts cost ~0.4 ms) — embeds
+            # keep f32 compute; OverlapPatchEmbed.dtype remains for callers
+            # that want AMP embeds explicitly.
             x, H, W = OverlapPatchEmbed(
                 self.patch_sizes[s], self.strides[s], self.embed_dims[s],
-                dtype=None if self.dtype == jnp.float32 else self.dtype,
                 s2d=self.s2d_stem, name=f"patch_embed{s + 1}",
             )(x)
             for b in range(self.depths[s]):

@@ -152,25 +152,15 @@ def _upsample_axis_int(xf: jax.Array, s: int, axis: int) -> jax.Array:
 
 def resize_bilinear_auto(x: jax.Array, size, align_corners: bool = False) -> jax.Array:
     """`resize_bilinear_mm` on TPU (MXU einsums, differentiable, no gather
-    intermediates), gather path elsewhere; integer power-of-two UPsampling at
-    align_corners=False takes the phase-interleave path (same taps/weights,
-    bit-identical for dyadic fractions, channels-minor layout). Same
-    taps/weights every way."""
+    intermediates), gather path elsewhere. Same taps/weights either way.
+
+    NOTE r5: routing integer power-of-two UPsampling through the
+    phase-interleave path (`_upsample_axis_int`) was A/B'd on the v5e and
+    REJECTED — the decoder's stack/concat phases materialize layout copies
+    costing ~2.2 ms vs the 1.4 ms einsum chain (headline 743 vs 905 tiles/s
+    end to end, trace_headline3). The helper stays (parity-tested) as a
+    building block for geometries where the einsum path is the pathology."""
     if jax.default_backend() == "tpu":
-        H_out, W_out = int(size[0]), int(size[1])
-        H_in, W_in = x.shape[-3], x.shape[-2]
-        if (not align_corners and H_out % max(H_in, 1) == 0
-                and W_out % max(W_in, 1) == 0
-                and H_out // H_in in (1, 2, 4, 8)
-                and W_out // W_in in (1, 2, 4, 8)
-                and (H_out, W_out) != (H_in, W_in)):
-            dtype = x.dtype
-            xf = x.astype(jnp.float32)
-            if H_out != H_in:
-                xf = _upsample_axis_int(xf, H_out // H_in, x.ndim - 3)
-            if W_out != W_in:
-                xf = _upsample_axis_int(xf, W_out // W_in, x.ndim - 2)
-            return xf.astype(dtype)
         return resize_bilinear_mm(x, size, align_corners=align_corners)
     return resize_bilinear(x, size, align_corners=align_corners)
 
