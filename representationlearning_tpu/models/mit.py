@@ -300,24 +300,29 @@ class OverlapPatchEmbed(nn.Module):
     # the stem conv in isolation runs at 4 TF/s (Cin=3 starves the MXU) but the
     # s2d reshape/layout measured a 16% END-TO-END headline LOSS at 512^2
     # batch 8 (670.8 vs 799.9 tiles/s, tools/ab_headline.py round 4)
+    taps: bool = False  # grouped-taps stem lowering (`ops/image.py::
+    # grouped_taps_conv`): the transpose-FREE fix for the same Cin=3 MXU
+    # starvation — group-slice einsums over a reshaped (never transposed) view
 
     @nn.compact
     def __call__(self, x: jax.Array):
         """x NHWC -> tokens (B, N, C), H', W'."""
         p = self.patch_size // 2
         C = x.shape[-1]
-        if (self.s2d and jax.default_backend() == "tpu" and self.stride > 1
-                and C <= 8):
-            # RGB stem: space-to-depth form of the same conv — identical
-            # taps/weights, but the MXU contracts s*s*C channels instead of 3
-            # (the stride-4 7x7 stem measured 0.94 ms at 4 TF/s, PERF.md r4)
-            from ..ops.image import space_to_depth_conv
+        if ((self.s2d or self.taps) and jax.default_backend() == "tpu"
+                and self.stride > 1 and C <= 8):
+            # RGB stem: space-to-depth / grouped-taps form of the same conv —
+            # identical taps/weights, but the MXU contracts s*s*C channels
+            # instead of 3 (the stride-4 7x7 stem measured 0.94 ms at 2.6-4
+            # TF/s, PERF.md r4/r5)
+            from ..ops.image import grouped_taps_conv, space_to_depth_conv
 
             kernel, bias = _ConvParams(
                 (self.patch_size, self.patch_size, C, self.embed_dim),
                 name="proj")()
-            x = space_to_depth_conv(x, kernel, bias, stride=self.stride,
-                                    padding=p, dtype=self.dtype)
+            conv = grouped_taps_conv if self.taps else space_to_depth_conv
+            x = conv(x, kernel, bias, stride=self.stride,
+                     padding=p, dtype=self.dtype)
         else:
             x = TorchConv(
                 self.embed_dim, (self.patch_size, self.patch_size),
@@ -370,6 +375,7 @@ class MixVisionTransformer(nn.Module):
     # XLA/exporting blocks — whose MixFFN depthwise conv is the measured bf16
     # pathology — still run on an f32 stream. None = exact f32 residency.
     s2d_stem: bool = False  # space-to-depth stage-1 stem (see OverlapPatchEmbed.s2d)
+    taps_stem: bool = False  # grouped-taps stage-1 stem (see OverlapPatchEmbed.taps)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True):
@@ -386,7 +392,8 @@ class MixVisionTransformer(nn.Module):
             # that want AMP embeds explicitly.
             x, H, W = OverlapPatchEmbed(
                 self.patch_sizes[s], self.strides[s], self.embed_dims[s],
-                s2d=self.s2d_stem, name=f"patch_embed{s + 1}",
+                s2d=self.s2d_stem, taps=self.taps_stem,
+                name=f"patch_embed{s + 1}",
             )(x)
             for b in range(self.depths[s]):
                 want = (mode == "all") or (

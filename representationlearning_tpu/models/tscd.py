@@ -45,6 +45,7 @@ class TSCD(nn.Module):
     # encoder (bf16 halves the HBM-bound activation traffic; LN stats stay f32
     # — see MixVisionTransformer.act_dtype). None = exact f32.
     s2d_stem: bool = False  # space-to-depth stage-1 stem (per-geometry lever)
+    taps_stem: bool = False  # grouped-taps stage-1 stem (transpose-free s2d)
 
     def setup(self):
         cfg = dict(MIT_CONFIGS[self.backbone])
@@ -52,6 +53,7 @@ class TSCD(nn.Module):
             strides=self.strides, dtype=self.dtype, use_flash=self.use_flash,
             fused_blocks=self.fused_blocks, collect_attns=self.collect_attns,
             act_dtype=self.act_dtype, s2d_stem=self.s2d_stem,
+            taps_stem=self.taps_stem,
             **cfg, name="encoder"
         )
         self.decoder = SegFormerHead(

@@ -266,6 +266,71 @@ def minmax_normalize_cam(cam: jax.Array, eps: float = 1e-5) -> jax.Array:
     return cam
 
 
+def grouped_taps_conv(x, kernel, bias=None, stride: int = 4,
+                      padding: int = 3, dtype=None, split_r: bool = False):
+    """Strided small-Cin stem conv as group-slice einsums — an exact,
+    TRANSPOSE-FREE reformulation of ``conv(pad(x, p), kernel, stride, VALID)``.
+
+    `space_to_depth_conv` fixes the Cin=3 MXU starvation but pays an explicit
+    space-to-depth transpose (measured a 16% end-to-end headline LOSS at 512^2,
+    PERF.md r4). Here the padded input is only ever RESHAPED — (B, Hp, Wp, C)
+    -> (B, Hgr, s, Wgr, s*C), both splits contiguous, zero data movement — and
+    each tap (ky, kx) = (s*a + r, s*b + q) lands in group-offset slice (a, b)
+    at row r, lane q*C+c. Summing over (a, b) gives GH*GW einsums contracting
+    (r, s*C) = K s*s*C (48 for the 7x7/s4 RGB stem) against a zero-scattered
+    (s, s*C, O) weight. Identical taps/weights; f32 accumulate; differentiable.
+
+    split_r=True instead emits GH*GW*s einsums contracting only s*C (K=12) with
+    `r` as a plain slice index — no multi-dim contraction, in case XLA lowers
+    the (r, k) contraction with an internal transpose. A/B on-chip.
+    """
+    B, H, W, C = x.shape
+    kh, kw, _, O = kernel.shape
+    s, p = stride, padding
+    Hout = (H + 2 * p - kh) // s + 1
+    Wout = (W + 2 * p - kw) // s + 1
+    GH = (kh - 1) // s + 1
+    GW = (kw - 1) // s + 1
+    Hp, Wp = s * (Hout + GH - 1), s * (Wout + GW - 1)
+    pb_h, pb_w = Hp - H - p, Wp - W - p
+    # negative bottom pad = trailing rows no output position reads (kernel <=
+    # stride geometries); crop is exact (same contract as space_to_depth_conv)
+    xp = jnp.pad(x, ((0, 0), (p, max(pb_h, 0)), (p, max(pb_w, 0)), (0, 0)))
+    if pb_h < 0:
+        xp = xp[:, :Hp]
+    if pb_w < 0:
+        xp = xp[:, :, :Wp]
+    xg = xp.reshape(B, Hout + GH - 1, s, Wout + GW - 1, s * C)
+    kp = jnp.pad(kernel, ((0, s * GH - kh), (0, s * GW - kw), (0, 0), (0, 0)))
+    # (s*GH, s*GW, C, O) -> W_{a,b}[r, q*C+c, o] = kernel[s*a+r, s*b+q, c, o]
+    kg = kp.reshape(GH, s, GW, s, C, O).transpose(0, 2, 1, 3, 4, 5)
+    kg = kg.reshape(GH, GW, s, s * C, O)
+    if dtype is not None:
+        xg = xg.astype(dtype)
+        kg = kg.astype(dtype)
+    out = None
+    for a in range(GH):
+        for b in range(GW):
+            if split_r:
+                for r in range(s):
+                    if (s * a + r) >= kh:
+                        continue  # zero weight rows: skip the whole term
+                    t = jnp.einsum(
+                        "bhwk,ko->bhwo",
+                        xg[:, a:a + Hout, r, b:b + Wout, :], kg[a, b, r],
+                        preferred_element_type=jnp.float32)
+                    out = t if out is None else out + t
+            else:
+                t = jnp.einsum(
+                    "bhrwk,rko->bhwo",
+                    xg[:, a:a + Hout, :, b:b + Wout, :], kg[a, b],
+                    preferred_element_type=jnp.float32)
+                out = t if out is None else out + t
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(dtype) if dtype is not None else out
+
+
 def space_to_depth_conv(x, kernel, bias=None, stride: int = 4,
                         padding: int = 3, dtype=None):
     """A strided stem conv (tiny Cin, e.g. RGB) as a space-to-depth conv.

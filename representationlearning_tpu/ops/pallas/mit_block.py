@@ -98,6 +98,19 @@ def _block_math(x, p, *, H, W, sr, nh, dtype, sr_mode="taps", export=False,
             hs = h2d.reshape(Hs, sr, Ws, sr, C).transpose(0, 2, 1, 3, 4)
             hs = hs.reshape(Hs * Ws, sr * sr * C)
             xs = _mm(hs, srk.reshape(sr * sr * C, C), dtype)
+        elif sr_mode == "kyrow":
+            # middle ground between "taps" (sr^2 thin K=C matmuls, ~2 TF/s
+            # measured) and "ktile"/"patch" (one deep-K matmul, Mosaic-
+            # rejected): per-ky row matmuls with K = sr*C. The only layout op
+            # is a CONTIGUOUS (sr, C) -> sr*C lane merge (512 lanes at the
+            # stage-1 geometry, vs the sr*sr*C=4096 merge "patch" needs).
+            h5 = h2d.reshape(Hs, sr, Ws, sr, C)
+            srk2 = srk.reshape(sr, sr * C, C)  # (ky, kx*cin, cout)
+            xs = None
+            for ky in range(sr):
+                a = h5[:, ky].reshape(Hs * Ws, sr * C)
+                acc_t = _mm(a, srk2[ky], dtype)
+                xs = acc_t if xs is None else xs + acc_t
         elif sr_mode == "ktile":
             # patch matmul via LANE-dim concat of the sr^2 tap columns: ONE
             # (Nk, sr*sr*C) @ (sr*sr*C, C) MXU matmul with a deep K instead of

@@ -130,6 +130,45 @@ def test_space_to_depth_conv_matches_strided_conv():
                                    atol=5e-5)
 
 
+def test_grouped_taps_conv_matches_strided_conv():
+    """grouped_taps_conv (transpose-free stem lowering, both the fused K=s*s*C
+    and the split K=s*C term groupings) == conv(pad(x), k, stride), values AND
+    kernel gradient, incl. negative-bottom-pad crop geometries."""
+    import jax
+    import jax.numpy as jnp
+
+    from representationlearning_tpu.ops.image import grouped_taps_conv
+
+    rng = np.random.default_rng(0)
+    for (H, W, k, s, p, C, O) in [(64, 64, 7, 4, 3, 3, 16),
+                                  (64, 64, 7, 2, 3, 3, 16),
+                                  (33, 47, 7, 4, 3, 3, 8),
+                                  (32, 32, 3, 2, 1, 4, 8),
+                                  (33, 33, 2, 2, 0, 3, 8),
+                                  (35, 33, 3, 4, 0, 3, 8)]:
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+        kern = jnp.asarray(rng.standard_normal((k, k, C, O)), jnp.float32) * 0.1
+        b = jnp.asarray(rng.standard_normal((O,)), jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            x, kern, (s, s), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        for split in (False, True):
+            got = grouped_taps_conv(x, kern, b, stride=s, padding=p,
+                                    split_r=split)
+            assert got.shape == want.shape, (got.shape, want.shape)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=5e-5)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((7, 7, 3, 8)), jnp.float32)
+    g_got = jax.grad(
+        lambda kk: grouped_taps_conv(x, kk, None, 4, 3).sum())(kern)
+    g_want = jax.grad(lambda kk: jax.lax.conv_general_dilated(
+        x, kk, (4, 4), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).sum())(kern)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=5e-5)
+
+
 @pytest.mark.parametrize("hw,factor", [((16, 16), 8), ((64, 64), 2), ((32, 16), 4),
                                        ((7, 9), 2)])
 def test_upsample_int_phases_matches_gather_and_torch(hw, factor):

@@ -83,11 +83,27 @@ def main():
         "bf16": dict(fused_blocks=True, act_dtype=jnp.bfloat16),
         "xla_f32": dict(fused_blocks=False, act_dtype=None),
         "xla_bf16": dict(fused_blocks=False, act_dtype=jnp.bfloat16),
+        # r5: grouped-taps stem (transpose-free s2d; ops/image.py::
+        # grouped_taps_conv) — fused K=s*s*C contraction vs split K=s*C terms
+        "bf16_taps": dict(fused_blocks=True, act_dtype=jnp.bfloat16,
+                          taps_stem=True),
+        "bf16_taps_split": dict(fused_blocks=True, act_dtype=jnp.bfloat16,
+                                taps_stem=True),
     }
     variables = None
     ref_out = None
     for name in args.variants.split(","):
         kw = spec[name]
+        if name.endswith("_split"):
+            from representationlearning_tpu.ops import image as IMG
+            orig_gtc = IMG.grouped_taps_conv
+
+            def split_gtc(x, k, b=None, stride=4, padding=3, dtype=None,
+                          split_r=False, _o=orig_gtc):
+                return _o(x, k, b, stride=stride, padding=padding,
+                          dtype=dtype, split_r=True)
+            MIT.grouped_taps_conv = split_gtc
+            IMG.grouped_taps_conv = split_gtc
         model = TSCD(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16, **kw)
         if variables is None:
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--cam-act-bf16", action="store_true",
                     help="bf16 residual-stream residency on the no-grad cam "
                          "twin (grad model unchanged)")
+    ap.add_argument("--taps-stem", action="store_true",
+                    help="grouped-taps stem on BOTH the grad model and the "
+                         "cam twin (ops/image.py::grouped_taps_conv)")
     ap.add_argument("--r03-protocol", action="store_true",
                     help="BENCH_r03 workload for apples-to-apples comparison: "
                          "dense ~6-present-class labels (round 4 moved the "
@@ -80,11 +83,13 @@ def main():
     batch = args.batch
     cfg = RMLConfig(crop_size=320, cam_iters=-1, max_present=args.max_present)
     aug_cfg = DeviceAugConfig(crop_size=320, scale_range=(0.5, 2.0), num_classes=21)
-    model = RMLModel(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16)
+    model = RMLModel(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16,
+                     taps_stem=args.taps_stem)
     cam_apply_fn = None
     if args.fused:
         cam_twin = RMLModel(backbone="mit_b1", num_classes=21, dtype=jnp.bfloat16,
                             fused_blocks=True, collect_attns="none",
+                            taps_stem=args.taps_stem,
                             act_dtype=jnp.bfloat16 if args.cam_act_bf16 else None)
         cam_apply_fn = cam_twin.apply
     rng = np.random.default_rng(0)
